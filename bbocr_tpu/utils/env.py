@@ -1,0 +1,31 @@
+"""Environment helpers: flags and backend detection.
+
+The reference gates behavior on env vars like ``BB_OCR_EASYOCR_GPU`` /
+``BB_OCR_DEBUG_AUTOCROP`` (reference ``pipeline_demo/extractor/enhanced_extractor.py:130,147``).
+We keep the same truthy-string convention.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+
+def env_flag(name: str, default: bool = False) -> bool:
+    """True if the env var is a truthy string ("1", "true", "yes", "on")."""
+    raw = os.getenv(name)
+    if raw is None:
+        return default
+    return str(raw).strip().lower() in ("1", "true", "yes", "on")
+
+
+@functools.lru_cache(maxsize=None)
+def default_backend() -> str:
+    import jax
+
+    return jax.default_backend()
+
+
+def on_tpu() -> bool:
+    """True when the default JAX backend is a TPU (incl. tunneled devices)."""
+    return default_backend() not in ("cpu", "gpu")
