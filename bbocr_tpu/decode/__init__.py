@@ -1,0 +1,9 @@
+from bbocr_tpu.decode.ctc import ctc_greedy_decode
+from bbocr_tpu.decode.boxes import DetectionParams, extract_boxes, sort_reading_order
+
+__all__ = [
+    "ctc_greedy_decode",
+    "DetectionParams",
+    "extract_boxes",
+    "sort_reading_order",
+]

@@ -1,0 +1,195 @@
+"""CRAFT score maps -> word quadrilaterals (host geometry step).
+
+Behavioral equivalent of the detection postprocessing inside the reference's
+EasyOCR dependency (SURVEY.md §2.3: "polygon grouping & rectification"):
+threshold the region/affinity maps, label connected components, filter by
+population and peak region score, and emit a rotated min-area rectangle per
+component grown by the standard CRAFT dilation margin.
+
+Score maps come off the TPU; this step is O(map pixels) on the host with the
+C++ labeler doing the heavy pass. Rotated rectangles use convex hull +
+rotating calipers (no OpenCV dependency).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+from bbocr_tpu.native import connected_components
+
+
+@dataclass(frozen=True)
+class DetectionParams:
+    # Standard CRAFT/EasyOCR thresholds (readtext defaults).
+    text_threshold: float = 0.7
+    link_threshold: float = 0.4
+    low_text: float = 0.4
+    min_size_px: int = 10
+
+
+def _cross2(o: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
+    return float((a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0]))
+
+
+def _convex_hull(points: np.ndarray) -> np.ndarray:
+    """Monotone-chain convex hull; points (N,2) -> hull (M,2) CCW."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+
+    def half(seq):
+        out: List[np.ndarray] = []
+        for p in seq:
+            while len(out) >= 2 and _cross2(out[-2], out[-1], p) <= 0:
+                out.pop()
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.asarray(lower[:-1] + upper[:-1], np.float64)
+
+
+def _min_area_rect(points: np.ndarray) -> np.ndarray:
+    """Rotating-calipers min-area rectangle; returns 4 corners (4,2)."""
+    hull = _convex_hull(points.astype(np.float64))
+    if len(hull) == 1:
+        p = hull[0]
+        return np.tile(p, (4, 1))
+    if len(hull) == 2:
+        a, b = hull
+        return np.asarray([a, b, b, a], np.float64)
+    edges = np.diff(np.vstack([hull, hull[:1]]), axis=0)
+    angles = np.unique(np.mod(np.arctan2(edges[:, 1], edges[:, 0]), math.pi / 2))
+    best = None
+    for ang in angles:
+        c, s = math.cos(ang), math.sin(ang)
+        rot = np.array([[c, s], [-s, c]])
+        proj = hull @ rot.T
+        mins = proj.min(axis=0)
+        maxs = proj.max(axis=0)
+        area = np.prod(maxs - mins)
+        if best is None or area < best[0]:
+            best = (area, ang, mins, maxs)
+    _, ang, mins, maxs = best
+    c, s = math.cos(ang), math.sin(ang)
+    rot = np.array([[c, s], [-s, c]])
+    corners = np.array(
+        [
+            [mins[0], mins[1]],
+            [maxs[0], mins[1]],
+            [maxs[0], maxs[1]],
+            [mins[0], maxs[1]],
+        ]
+    )
+    return corners @ rot
+
+
+def _order_clockwise(box: np.ndarray) -> np.ndarray:
+    """Start at top-left, clockwise (the CRAFT convention)."""
+    start = np.argmin(box.sum(axis=1))
+    box = np.roll(box, -start, axis=0)
+    # Ensure clockwise in image coordinates (y down).
+    if _cross2(box[0], box[1], box[2]) < 0:
+        box = box[[0, 3, 2, 1]]
+    return box
+
+
+def extract_boxes(
+    region: np.ndarray,
+    affinity: np.ndarray,
+    params: DetectionParams = DetectionParams(),
+) -> List[np.ndarray]:
+    """(H, W) float32 score maps -> list of (4, 2) float quads (map coords).
+
+    Matches the CRAFT recipe: components of
+    (region > low_text) | (affinity > link_threshold), kept when population
+    >= min_size and max region score >= text_threshold, expanded by
+    niter = sqrt(area * min(w, h) / (w * h)) * 2.
+    """
+    mask = (region > params.low_text) | (affinity > params.link_threshold)
+    labels, stats = connected_components(mask.astype(np.uint8), score=region, connectivity=4)
+    if stats.shape[0] == 0:
+        return []
+
+    keep_ids = []
+    for idx in range(stats.shape[0]):
+        x0, y0, x1, y1, count = stats[idx, :5]
+        if count < params.min_size_px:
+            continue
+        if stats[idx, 10] < params.text_threshold:
+            continue
+        keep_ids.append(idx)
+    if not keep_ids:
+        return []
+
+    # Group pixel coordinates by label in one pass.
+    flat = labels.ravel()
+    order = np.argsort(flat, kind="stable")
+    sorted_labels = flat[order]
+    w = labels.shape[1]
+    ys, xs = np.divmod(order, w)
+    bounds = np.searchsorted(sorted_labels, np.arange(1, stats.shape[0] + 2))
+
+    quads = []
+    for idx in keep_ids:
+        lo, hi = bounds[idx], bounds[idx + 1]
+        pts = np.stack([xs[lo:hi], ys[lo:hi]], axis=1)
+        x0, y0, x1, y1, count = stats[idx, :5]
+        bw, bh = x1 - x0 + 1, y1 - y0 + 1
+        niter = int(math.sqrt(count * min(bw, bh) / (bw * bh)) * 2.0)
+        rect = _min_area_rect(pts)
+        # Grow by the dilation margin (Minkowski sum with a square ~ expand
+        # each side); also mirror CRAFT's diamond-to-axis-aligned fallback.
+        center = rect.mean(axis=0)
+        side1 = np.linalg.norm(rect[1] - rect[0])
+        side2 = np.linalg.norm(rect[2] - rect[1])
+        if min(side1, side2) > 0:
+            ratio = max(side1, side2) / (min(side1, side2) + 1e-5)
+            if abs(1 - ratio) <= 0.1:
+                # Near-square: fall back to the axis-aligned box.
+                l, r = pts[:, 0].min(), pts[:, 0].max()
+                t, b = pts[:, 1].min(), pts[:, 1].max()
+                rect = np.array([[l, t], [r, t], [r, b], [l, b]], np.float64)
+                center = rect.mean(axis=0)
+        grow = niter + 1.0
+        dirs = rect - center
+        norms = np.linalg.norm(dirs, axis=1, keepdims=True)
+        rect = rect + dirs / np.maximum(norms, 1e-6) * grow * math.sqrt(2.0)
+        quads.append(_order_clockwise(rect))
+    return quads
+
+
+def sort_reading_order(quads: List[np.ndarray]) -> List[int]:
+    """Indices sorted top-to-bottom then left-to-right (line clustering).
+
+    Mirrors the line-grouping the reference gets from EasyOCR's
+    group_text_box before it joins the texts with spaces
+    (``enhanced_extractor.py:521``).
+    """
+    if not quads:
+        return []
+    centers = np.array([q.mean(axis=0) for q in quads])
+    heights = np.array([q[:, 1].max() - q[:, 1].min() for q in quads])
+    order = np.argsort(centers[:, 1], kind="stable")
+    lines: List[List[int]] = []
+    line_y: List[float] = []
+    for i in order:
+        cy = centers[i, 1]
+        tol = max(heights[i] * 0.5, 1.0)
+        if lines and abs(cy - line_y[-1]) <= tol:
+            lines[-1].append(int(i))
+            line_y[-1] = (line_y[-1] * (len(lines[-1]) - 1) + cy) / len(lines[-1])
+        else:
+            lines.append([int(i)])
+            line_y.append(float(cy))
+    out: List[int] = []
+    for line in lines:
+        line.sort(key=lambda i: centers[i, 0])
+        out.extend(line)
+    return out

@@ -1,0 +1,63 @@
+"""Recognition charsets and label codecs.
+
+The reference's recognizer (EasyOCR english_g2) emits the latin/number/symbol
+charset below with CTC blank at index 0; we keep the same alphabet so decoded
+strings are drop-in comparable (reference call site:
+``pipeline_demo/extractor/enhanced_extractor.py:520-521``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence
+
+# digits + ASCII symbols + space + euro + latin letters (EasyOCR en ordering).
+EN_CHARS = (
+    "0123456789"
+    "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~ "
+    "€"
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    "abcdefghijklmnopqrstuvwxyz"
+)
+
+BLANK_ID = 0
+
+
+@dataclass(frozen=True)
+class Charset:
+    chars: str
+
+    @property
+    def num_classes(self) -> int:
+        # +1 for the CTC blank at index 0.
+        return len(self.chars) + 1
+
+    def encode(self, text: str) -> List[int]:
+        lut = _index(self.chars)
+        return [lut[c] for c in text if c in lut]
+
+    def decode_ids(self, ids: Sequence[int]) -> str:
+        out = []
+        for i in ids:
+            if i == BLANK_ID:
+                continue
+            if 1 <= i <= len(self.chars):
+                out.append(self.chars[i - 1])
+        return "".join(out)
+
+    def ctc_collapse(self, ids: Sequence[int]) -> str:
+        """Greedy CTC post-processing: merge repeats, drop blanks."""
+        out = []
+        prev = -1
+        for i in ids:
+            if i != prev and i != BLANK_ID:
+                out.append(self.chars[i - 1])
+            prev = i
+        return "".join(out)
+
+
+def _index(chars: str) -> Dict[str, int]:
+    return {c: i + 1 for i, c in enumerate(chars)}
+
+
+EN_CHARSET = Charset(EN_CHARS)

@@ -1,0 +1,136 @@
+"""CRAFT text detector as a JAX/flax forward pass.
+
+Replaces the libtorch CRAFT the reference drives through
+``easyocr.Reader.readtext`` (``enhanced_extractor.py:520``): a VGG16-BN
+backbone, a U-shaped decoder with skip connections, and a 2-channel head
+producing character-region and affinity score maps at half input resolution.
+
+TPU-first choices:
+- NHWC layout, bfloat16 compute / float32 params (MXU-friendly convs).
+- Bilinear upsampling via ``jax.image.resize`` (lowers to XLA gather/dot the
+  compiler tiles well); all shapes static.
+- Stage widths/strides mirror the published CRAFT topology so pretrained
+  weights (torchvision VGG16-BN layout) can be imported by
+  ``bbocr_tpu.models.weights``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+# ImageNet normalization used by the published CRAFT preprocessing.
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_image(rgb01: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, W, 3) floats in [0,1] -> ImageNet-normalized."""
+    mean = jnp.asarray(IMAGENET_MEAN, rgb01.dtype)
+    std = jnp.asarray(IMAGENET_STD, rgb01.dtype)
+    return (rgb01 - mean) / std
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: int = 3
+    dilation: int = 1
+    use_bn: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding="SAME" if self.kernel > 1 else "VALID",
+            use_bias=not self.use_bn,
+            dtype=self.dtype,
+        )(x)
+        if self.use_bn:
+            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+def _maxpool(x, window=2, stride=2, padding="VALID"):
+    return nn.max_pool(x, (window, window), (stride, stride), padding)
+
+
+class VGG16BN(nn.Module):
+    """Backbone emitting the four skip features CRAFT consumes."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = lambda f: ConvBN(f, dtype=self.dtype)
+        x = c(64)(x, train)
+        x = c(64)(x, train)
+        x = _maxpool(x)  # /2
+        x = c(128)(x, train)
+        f1 = c(128)(x, train)  # 128 @ /2
+        x = _maxpool(f1)  # /4
+        x = c(256)(x, train)
+        x = c(256)(x, train)
+        f2 = c(256)(x, train)  # 256 @ /4
+        x = _maxpool(f2)  # /8
+        x = c(512)(x, train)
+        x = c(512)(x, train)
+        f3 = c(512)(x, train)  # 512 @ /8
+        x = _maxpool(f3)  # /16
+        x = c(512)(x, train)
+        x = c(512)(x, train)
+        f4 = c(512)(x, train)  # 512 @ /16
+        # fc6/fc7 conversion: stride-1 pool + dilated 1024 convs.
+        x = nn.max_pool(f4, (3, 3), (1, 1), "SAME")
+        x = ConvBN(1024, kernel=3, dilation=6, use_bn=False, dtype=self.dtype)(x, train)
+        f5 = ConvBN(1024, kernel=1, use_bn=False, dtype=self.dtype)(x, train)  # 1024 @ /16
+        return f1, f2, f3, f4, f5
+
+
+class DoubleConv(nn.Module):
+    mid: int
+    out: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.mid, kernel=1, dtype=self.dtype)(x, train)
+        return ConvBN(self.out, kernel=3, dtype=self.dtype)(x, train)
+
+
+def _upsample_to(x, ref):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, ref.shape[1], ref.shape[2], c), method="bilinear")
+
+
+class CRAFT(nn.Module):
+    """Input: (B, H, W, 3) ImageNet-normalized; H, W multiples of 32.
+
+    Output: (B, H/2, W/2, 2) — channel 0 region score, channel 1 affinity.
+    """
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f1, f2, f3, f4, f5 = VGG16BN(dtype=self.dtype)(x, train)
+        y = jnp.concatenate([f5, f4], axis=-1)  # 1536 @ /16
+        y = DoubleConv(512, 256, self.dtype)(y, train)
+        y = jnp.concatenate([_upsample_to(y, f3), f3], axis=-1)  # 256+512 @ /8
+        y = DoubleConv(256, 128, self.dtype)(y, train)
+        y = jnp.concatenate([_upsample_to(y, f2), f2], axis=-1)  # 128+256 @ /4
+        y = DoubleConv(128, 64, self.dtype)(y, train)
+        y = jnp.concatenate([_upsample_to(y, f1), f1], axis=-1)  # 64+128 @ /2
+        feat = DoubleConv(64, 32, self.dtype)(y, train)
+        h = ConvBN(32, use_bn=False, dtype=self.dtype)(feat, train)
+        h = ConvBN(32, use_bn=False, dtype=self.dtype)(h, train)
+        h = ConvBN(16, use_bn=False, dtype=self.dtype)(h, train)
+        h = ConvBN(16, kernel=1, use_bn=False, dtype=self.dtype)(h, train)
+        out = nn.Conv(2, (1, 1), dtype=self.dtype)(h)
+        # Score maps are probabilities; sigmoid keeps train/infer consistent.
+        return jax.nn.sigmoid(out.astype(jnp.float32))

@@ -1,0 +1,95 @@
+"""Model forward-pass shape/compile tests and decode-layer unit tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bbocr_tpu.decode import ctc_greedy_decode, extract_boxes, sort_reading_order
+from bbocr_tpu.decode.boxes import DetectionParams, _min_area_rect
+from bbocr_tpu.models import CRAFT, CRNN, EN_CHARSET
+
+
+class TestCRAFT:
+    def test_forward_shapes(self):
+        model = CRAFT(dtype=jnp.float32)
+        x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+        assert out.shape == (1, 32, 48, 2)
+        assert out.dtype == jnp.float32
+        assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
+
+
+class TestCRNN:
+    def test_forward_shapes(self):
+        n_cls = EN_CHARSET.num_classes
+        model = CRNN(num_classes=n_cls, dtype=jnp.float32)
+        x = jnp.zeros((2, 32, 64, 1), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+        assert out.shape == (2, 64 // 4 - 1, n_cls)
+
+    def test_time_resolution(self):
+        model = CRNN(num_classes=10, dtype=jnp.float32)
+        x = jnp.zeros((1, 32, 128, 1), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        assert model.apply(params, x).shape[1] == 31
+
+
+class TestCTCDecode:
+    def test_greedy_collapse(self):
+        # classes: 0=blank, 1='a', 2='b'
+        t_seq = [1, 1, 0, 1, 2, 2, 0, 0, 2]
+        logits = np.full((1, len(t_seq), 3), -5.0, np.float32)
+        for t, c in enumerate(t_seq):
+            logits[0, t, c] = 5.0
+        ids, lens, conf = ctc_greedy_decode(jnp.asarray(logits))
+        ids = np.asarray(ids)[0]
+        n = int(lens[0])
+        assert list(ids[:n]) == [1, 1, 2, 2]
+        assert float(conf[0]) > 0.9
+
+    def test_length_masking(self):
+        logits = np.full((1, 6, 3), -5.0, np.float32)
+        for t in range(6):
+            logits[0, t, 1] = 5.0  # 'a' everywhere
+        ids, lens, _ = ctc_greedy_decode(jnp.asarray(logits), jnp.asarray([3]))
+        assert int(lens[0]) == 1  # repeated 'a' collapses, padding masked
+        assert list(np.asarray(ids)[0][:1]) == [1]
+
+    def test_charset_roundtrip(self):
+        text = "Penguin 1984!"
+        enc = EN_CHARSET.encode(text)
+        assert EN_CHARSET.decode_ids(enc) == text
+
+
+class TestBoxes:
+    def test_min_area_rect_axis_aligned(self):
+        pts = np.array([[0, 0], [10, 0], [10, 4], [0, 4], [5, 2]])
+        rect = _min_area_rect(pts)
+        e1 = rect[1] - rect[0]
+        e2 = rect[3] - rect[0]
+        area = abs(e1[0] * e2[1] - e1[1] * e2[0])
+        assert area == pytest.approx(40.0, rel=0.01)
+
+    def test_extract_and_order(self):
+        h, w = 64, 96
+        region = np.zeros((h, w), np.float32)
+        affinity = np.zeros((h, w), np.float32)
+        # two words on one line, one word below
+        region[10:16, 8:30] = 0.9
+        region[10:16, 40:70] = 0.9
+        region[40:46, 20:50] = 0.9
+        quads = extract_boxes(region, affinity, DetectionParams())
+        assert len(quads) == 3
+        order = sort_reading_order(quads)
+        centers = np.array([quads[i].mean(axis=0) for i in order])
+        assert centers[0][0] < centers[1][0]  # same line: left first
+        assert centers[2][1] > centers[0][1]  # lower line last
+
+    def test_low_score_filtered(self):
+        region = np.zeros((32, 32), np.float32)
+        region[5:12, 5:20] = 0.5  # above low_text but below text_threshold
+        assert extract_boxes(region, np.zeros_like(region)) == []
