@@ -1,0 +1,79 @@
+"""Static-shape bucketing policies.
+
+Everything under jit compiles once per shape; buckets bound the number of
+distinct shapes so the compile cache stays small while padding waste stays
+low (SURVEY.md §7 "dynamic-width bucketing" / BASELINE.json config 4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from bbocr_tpu.models.crnn import INPUT_HEIGHT
+
+# Recognizer width buckets (pixels). T = w/4 - 1 CTC frames.
+DEFAULT_WIDTH_BUCKETS: Tuple[int, ...] = (64, 128, 256, 384)
+
+# Crop-count capacities per recognizer batch: next value >= n, so at most
+# len(CAPACITIES) compiled programs per width bucket.
+DEFAULT_CAPACITIES: Tuple[int, ...] = (8, 16, 32, 64, 128, 256)
+
+
+def pick_bucket(value: float, buckets: Sequence[int]) -> int:
+    """Smallest bucket >= value, else the largest bucket."""
+    for b in buckets:
+        if value <= b:
+            return b
+    return buckets[-1]
+
+
+def pad_count(n: int, capacities: Sequence[int] = DEFAULT_CAPACITIES) -> int:
+    for c in capacities:
+        if n <= c:
+            return c
+    return ((n + capacities[-1] - 1) // capacities[-1]) * capacities[-1]
+
+
+@dataclass(frozen=True)
+class CanvasSpec:
+    """Detector input canvas (static, multiples of 32)."""
+
+    height: int
+    width: int
+
+
+DEFAULT_CANVASES: Tuple[CanvasSpec, ...] = (
+    CanvasSpec(704, 512),   # portrait book photos (cover/title/copyright)
+    CanvasSpec(512, 704),   # landscape
+    CanvasSpec(512, 512),   # square-ish
+)
+
+
+def pick_canvas(h: int, w: int, canvases: Sequence[CanvasSpec] = DEFAULT_CANVASES) -> CanvasSpec:
+    """Choose the canvas whose aspect ratio best matches the image."""
+    aspect = w / max(h, 1)
+    best = min(canvases, key=lambda c: abs(c.width / c.height - aspect))
+    return best
+
+
+def letterbox_params(h: int, w: int, canvas: CanvasSpec) -> Tuple[float, int, int]:
+    """(scale, out_h, out_w): aspect-preserving fit into the canvas."""
+    scale = min(canvas.height / h, canvas.width / w)
+    return scale, int(round(h * scale)), int(round(w * scale))
+
+
+def crop_width_for_quad(quad: np.ndarray, buckets: Sequence[int] = DEFAULT_WIDTH_BUCKETS) -> Tuple[int, int]:
+    """(true_width, bucket_width) for a quad rectified to height 32."""
+    w_top = np.linalg.norm(quad[1] - quad[0])
+    w_bot = np.linalg.norm(quad[2] - quad[3])
+    h_l = np.linalg.norm(quad[3] - quad[0])
+    h_r = np.linalg.norm(quad[2] - quad[1])
+    w_src = max(w_top, w_bot)
+    h_src = max(h_l, h_r)
+    aspect = w_src / max(h_src, 1e-6)
+    true_w = int(round(INPUT_HEIGHT * aspect))
+    true_w = max(8, min(true_w, buckets[-1]))
+    return true_w, pick_bucket(true_w, buckets)

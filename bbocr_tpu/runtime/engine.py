@@ -1,0 +1,235 @@
+"""The OCR engine: photo(s) -> [(quad, text, confidence)].
+
+TPU-native replacement for the reference's ``easyocr.Reader.readtext``
+(``pipeline_demo/extractor/enhanced_extractor.py:518-521``). Differences in
+architecture, same role and output contract:
+
+- Detection (CRAFT) and recognition (CRNN) are jitted XLA programs over
+  static canvases / width buckets; batch is the unit of work, not the photo.
+- Box extraction is a small host step on half-resolution score maps (native
+  C++ labeler); rectification happens back on device for the whole batch.
+- The host<->device traffic per photo is one canvas upload + two small
+  downloads (score maps, token ids).
+
+Outputs mirror easyocr: per image, a list of (box, text, confidence) in
+reading order, where box is a (4, 2) float array in original image coords.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bbocr_tpu.decode import ctc_greedy_decode, extract_boxes, sort_reading_order
+from bbocr_tpu.decode.boxes import DetectionParams
+from bbocr_tpu.models import CRAFT, CRNN, EN_CHARSET, Charset
+from bbocr_tpu.models.craft import normalize_image
+from bbocr_tpu.models.crnn import INPUT_HEIGHT
+from bbocr_tpu.runtime import bucketing
+from bbocr_tpu.runtime.bucketing import CanvasSpec
+from bbocr_tpu.runtime.rectify import quad_to_rect_homography, warp_crops
+from bbocr_tpu.utils.checkpoint import load_params
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    canvases: Tuple[CanvasSpec, ...] = bucketing.DEFAULT_CANVASES
+    width_buckets: Tuple[int, ...] = bucketing.DEFAULT_WIDTH_BUCKETS
+    batch_capacities: Tuple[int, ...] = bucketing.DEFAULT_CAPACITIES
+    detection: DetectionParams = field(default_factory=DetectionParams)
+    # Minimum recognition confidence to keep a box (easyocr returns all;
+    # 0.0 preserves that behavior).
+    min_confidence: float = 0.0
+    compute_dtype: Any = jnp.bfloat16
+
+
+class OCREngine:
+    """Detector + recognizer + decode glue with jit caches per static shape."""
+
+    def __init__(
+        self,
+        craft_params: Any,
+        crnn_params: Any,
+        config: EngineConfig = EngineConfig(),
+        charset: Charset = EN_CHARSET,
+    ):
+        self.config = config
+        self.charset = charset
+        self.craft = CRAFT(dtype=config.compute_dtype)
+        self.crnn = CRNN(num_classes=charset.num_classes, dtype=config.compute_dtype)
+        self.craft_params = craft_params
+        self.crnn_params = crnn_params
+        self._lock = threading.Lock()
+
+        def detect(params, rgb01):
+            return self.craft.apply(params, normalize_image(rgb01))
+
+        def recognize(params, crops, lengths):
+            # crops (N, 32, W) in [0,255] -> normalized (N, 32, W, 1)
+            x = (crops / 127.5 - 1.0)[..., None]
+            logits = self.crnn.apply(params, x)
+            return ctc_greedy_decode(logits, lengths)
+
+        self._detect = jax.jit(detect)
+        self._recognize = jax.jit(recognize)
+
+    # ------------------------------------------------------------------
+    # Construction helpers
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def create(cls, seed: int = 0, config: EngineConfig = EngineConfig(), charset: Charset = EN_CHARSET):
+        """Engine with freshly initialized (untrained) parameters."""
+        craft = CRAFT(dtype=config.compute_dtype)
+        crnn = CRNN(num_classes=charset.num_classes, dtype=config.compute_dtype)
+        k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+        c = config.canvases[0]
+        craft_params = craft.init(k1, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        crnn_params = crnn.init(k2, jnp.zeros((1, INPUT_HEIGHT, 64, 1), jnp.float32))
+        return cls(craft_params, crnn_params, config, charset)
+
+    @classmethod
+    def from_checkpoint(cls, craft_path: str, crnn_path: str, config: EngineConfig = EngineConfig(), charset: Charset = EN_CHARSET):
+        return cls(load_params(craft_path), load_params(crnn_path), config, charset)
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+
+    def readtext(self, image: np.ndarray) -> List[Tuple[np.ndarray, str, float]]:
+        """Single image -> [(box (4,2) image coords, text, confidence)]."""
+        return self.readtext_batch([image])[0]
+
+    def readtext_batch(self, images: Sequence[np.ndarray]) -> List[List[Tuple[np.ndarray, str, float]]]:
+        """Batched OCR over a list of grayscale/RGB uint8-or-float images."""
+        if not images:
+            return []
+        with self._lock:
+            return self._readtext_batch_locked(images)
+
+    # ------------------------------------------------------------------
+    # Pipeline internals
+    # ------------------------------------------------------------------
+
+    def _readtext_batch_locked(self, images):
+        cfg = self.config
+        n_img = len(images)
+        grays: List[np.ndarray] = []
+        for img in images:
+            arr = np.asarray(img, np.float32)
+            if arr.ndim == 3:
+                arr = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+            grays.append(arr)
+
+        # --- group by canvas ---------------------------------------------
+        groups: Dict[CanvasSpec, List[int]] = {}
+        for i, g in enumerate(grays):
+            canvas = bucketing.pick_canvas(g.shape[0], g.shape[1], cfg.canvases)
+            groups.setdefault(canvas, []).append(i)
+
+        per_image_quads: List[List[np.ndarray]] = [[] for _ in range(n_img)]
+        scales: List[float] = [1.0] * n_img
+        canvas_batches: Dict[CanvasSpec, jnp.ndarray] = {}
+        canvas_pos: Dict[int, Tuple[CanvasSpec, int]] = {}
+
+        for canvas, idxs in groups.items():
+            batch = np.zeros((len(idxs), canvas.height, canvas.width), np.float32)
+            for slot, i in enumerate(idxs):
+                g = grays[i]
+                scale, oh, ow = bucketing.letterbox_params(g.shape[0], g.shape[1], canvas)
+                scales[i] = scale
+                batch[slot, :oh, :ow] = _host_resize(g, oh, ow)
+                canvas_pos[i] = (canvas, slot)
+            dev_batch = jnp.asarray(batch)
+            canvas_batches[canvas] = dev_batch
+
+            rgb01 = jnp.repeat(dev_batch[..., None], 3, axis=-1) / 255.0
+            maps = np.asarray(self._detect(self.craft_params, rgb01))
+            for slot, i in enumerate(idxs):
+                quads = extract_boxes(maps[slot, :, :, 0], maps[slot, :, :, 1], cfg.detection)
+                # map coords (half canvas) -> canvas coords
+                per_image_quads[i] = [q * 2.0 for q in quads]
+
+        # --- bucket crops across all images ------------------------------
+        buckets: Dict[int, List[Tuple[int, int, np.ndarray, int]]] = {}
+        for i in range(n_img):
+            for j, quad in enumerate(per_image_quads[i]):
+                true_w, bucket_w = bucketing.crop_width_for_quad(quad, cfg.width_buckets)
+                buckets.setdefault(bucket_w, []).append((i, j, quad, true_w))
+
+        results: List[List[Tuple[np.ndarray, str, float]]] = [[] for _ in range(n_img)]
+        texts: Dict[Tuple[int, int], Tuple[str, float]] = {}
+
+        for bucket_w, entries in buckets.items():
+            cap = bucketing.pad_count(len(entries), cfg.batch_capacities)
+            # group by canvas for warping (same source array shape)
+            by_canvas: Dict[CanvasSpec, List[int]] = {}
+            for e_idx, (i, j, quad, true_w) in enumerate(entries):
+                by_canvas.setdefault(canvas_pos[i][0], []).append(e_idx)
+
+            crop_arrays = []
+            order: List[int] = []
+            for canvas, e_idxs in by_canvas.items():
+                homos = np.zeros((len(e_idxs), 3, 3), np.float32)
+                img_idx = np.zeros(len(e_idxs), np.int32)
+                true_ws = np.zeros(len(e_idxs), np.int32)
+                for k, e_idx in enumerate(e_idxs):
+                    i, j, quad, true_w = entries[e_idx]
+                    homos[k] = quad_to_rect_homography(quad, true_w)
+                    img_idx[k] = canvas_pos[i][1]
+                    true_ws[k] = true_w
+                crops = warp_crops(
+                    canvas_batches[canvas],
+                    jnp.asarray(homos),
+                    jnp.asarray(img_idx),
+                    jnp.asarray(true_ws),
+                    bucket_w,
+                )
+                crop_arrays.append(crops)
+                order.extend(e_idxs)
+
+            all_crops = jnp.concatenate(crop_arrays, axis=0) if len(crop_arrays) > 1 else crop_arrays[0]
+            lengths = np.asarray([entries[e][3] // 4 - 1 for e in order], np.int32)
+            n = all_crops.shape[0]
+            if cap > n:
+                all_crops = jnp.pad(all_crops, ((0, cap - n), (0, 0), (0, 0)))
+                lengths = np.pad(lengths, (0, cap - n))
+            ids, lens, conf = self._recognize(self.crnn_params, all_crops, jnp.asarray(np.maximum(lengths, 1)))
+            ids = np.asarray(ids)
+            lens = np.asarray(lens)
+            conf = np.asarray(conf)
+            for k, e_idx in enumerate(order):
+                i, j, quad, true_w = entries[e_idx]
+                text = self.charset.decode_ids(ids[k][: lens[k]])
+                texts[(i, j)] = (text, float(conf[k]))
+
+        # --- assemble in reading order, back to image coords --------------
+        for i in range(n_img):
+            quads = per_image_quads[i]
+            order = sort_reading_order(quads)
+            out = []
+            for j in order:
+                text, c = texts.get((i, j), ("", 0.0))
+                if c < cfg.min_confidence or not text:
+                    continue
+                out.append((quads[j] / max(scales[i], 1e-9), text, c))
+            results[i] = out
+        return results
+
+    def read_joined(self, image: np.ndarray) -> str:
+        """The reference's usage: texts joined with spaces in reading order
+        (``enhanced_extractor.py:521``)."""
+        return " ".join(t for _, t, _ in self.readtext(image))
+
+
+def _host_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Aspect-fit host resize (PIL bilinear) used for canvas letterboxing."""
+    from PIL import Image
+
+    pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+    return np.asarray(pil.resize((out_w, out_h), Image.BILINEAR), np.float32)

@@ -1,0 +1,209 @@
+"""Extraction-layer contract tests: schema, JSON repair, heuristics, the
+extractor pipeline with a stubbed LLM, and trace structure."""
+
+import json
+
+import numpy as np
+import pytest
+
+from bbocr_tpu.extract import (
+    METADATA_SCHEMA,
+    BookMetadataExtractor,
+    build_prompt,
+    empty_metadata,
+    heuristic_extract,
+    repair_and_parse,
+    validate_metadata,
+)
+from bbocr_tpu.extract.schema import validate_schema
+
+
+class FakeEngine:
+    """Stands in for the TPU OCR engine (plumbing tests only)."""
+
+    def __init__(self, text="ISBN 978-0-306-40615-7 Penguin Books 1984"):
+        self.text = text
+        self.calls = 0
+
+    def read_joined(self, image):
+        self.calls += 1
+        return self.text
+
+
+def make_extractor(**kw):
+    kw.setdefault("warm_model", False)
+    kw.setdefault("engine", FakeEngine())
+    return BookMetadataExtractor(**kw)
+
+
+def fake_images(n=3, h=64, w=48):
+    rng = np.random.default_rng(0)
+    return [rng.integers(0, 255, (h, w, 3)).astype(np.uint8) for _ in range(n)]
+
+
+class TestSchema:
+    def test_empty_metadata_validates(self):
+        validate_schema(empty_metadata())
+
+    def test_validate_metadata_rules(self):
+        ok, issues = validate_metadata({"title": "X", "isbn_10": "0306406152", "isbn_13": "9780306406157"})
+        assert ok and not issues
+        ok, issues = validate_metadata({"title": None})
+        assert not ok and "Missing title" in issues
+        ok, issues = validate_metadata({"title": "X", "isbn_10": "123"})
+        assert not ok and any("ISBN-10" in i for i in issues)
+
+
+class TestJsonRepair:
+    def test_fenced_json(self):
+        raw = 'Sure! ```json\n{"title": "T", "authors": []}\n``` hope that helps'
+        assert repair_and_parse(raw)["title"] == "T"
+
+    def test_placeholders_nulled(self):
+        raw = '{"title": "T", "year": "YYYY | null", "subtitle": "string | null", "page_count": "integer | null"}'
+        meta = repair_and_parse(raw)
+        assert meta["year"] is None and meta["subtitle"] is None and meta["page_count"] is None
+
+    def test_brace_slicing(self):
+        raw = 'prefix {"title": "T"} suffix'
+        assert repair_and_parse(raw) == {"title": "T"}
+
+    def test_unparseable_raises(self):
+        with pytest.raises(json.JSONDecodeError):
+            repair_and_parse("no json here")
+
+
+class TestPrompt:
+    def test_ocr_context_appended(self):
+        p = build_prompt(["line one", "line two"])
+        assert "ADDITIONAL OCR CONTEXT" in p
+        assert "Page 2 OCR Text:\nline one" in p
+        assert "Page 3 OCR Text:\nline two" in p
+
+    def test_no_context(self):
+        p = build_prompt([])
+        assert "ADDITIONAL OCR CONTEXT" not in p
+        assert '"isbn_13": "string | null"' in p
+
+
+class TestHeuristics:
+    def test_isbn13_checksum(self):
+        meta = heuristic_extract("ISBN 978-0-306-40615-7")
+        assert meta["isbn_13"] == "9780306406157"
+        # invalid checksum rejected
+        meta = heuristic_extract("ISBN 978-0-306-40615-8")
+        assert meta["isbn_13"] is None
+
+    def test_isbn10_and_conversion(self):
+        meta = heuristic_extract("ISBN 0-306-40615-2")
+        assert meta["isbn_10"] == "0306406152"
+        assert meta["isbn_13"] == "9780306406157"
+
+    def test_year_imprint_priority(self):
+        meta = heuristic_extract("First published 1990. This edition (c) 1975 reprint 2003")
+        assert meta["year"] == "1990"
+
+    def test_publisher(self):
+        assert heuristic_extract("Published by Acme Press in London")["publisher"].endswith("Press")
+        assert heuristic_extract("a PENGUIN paperback")["publisher"] == "Penguin"
+
+    def test_price_and_title(self):
+        meta = heuristic_extract("The Great Title\nJohn Smith\n$12.99")
+        assert meta["title"] == "The Great Title"
+        assert meta["price"]["amount"] == 12.99
+        assert meta["price"]["currency"] == "USD"
+        assert meta["authors"] == ["John Smith"]
+
+    def test_empty(self):
+        assert heuristic_extract("")["title"] is None
+
+
+class TestExtractorPipeline:
+    def test_default_ocr_indices(self):
+        ext = make_extractor(llm_backend="heuristic", use_preprocessing=False)
+        meta = ext.extract_metadata_from_images(fake_images(3))
+        # two OCR pages (indices 1,2) both produced text under the cap
+        assert meta["_processing_info"]["ocr_images_processed"] == 2
+        assert meta["_processing_info"]["total_images"] == 3
+        assert ext._engine.calls == 2
+
+    def test_single_image_no_ocr(self):
+        ext = make_extractor(llm_backend="heuristic", use_preprocessing=False)
+        meta = ext.extract_metadata_from_images(fake_images(1))
+        assert meta["_processing_info"]["ocr_images_processed"] == 0
+
+    def test_ocr_char_cap_drops_long_text(self):
+        long_text = "x " * 400
+        ext = make_extractor(
+            engine=FakeEngine(long_text), llm_backend="heuristic", use_preprocessing=False
+        )
+        meta = ext.extract_metadata_from_images(fake_images(2), capture_trace=True)
+        assert meta["_processing_info"]["ocr_images_processed"] == 0
+        steps = [s["step"] for s in meta["_trace"]["steps"]]
+        assert "ocr_skip_long" in steps
+        assert meta["_trace"]["images"][1]["ocr_skipped_long"] is True
+
+    def test_heuristic_backend_structures_ocr(self):
+        ext = make_extractor(llm_backend="heuristic", use_preprocessing=False)
+        meta = ext.extract_metadata_from_images(fake_images(2))
+        assert meta["isbn_13"] == "9780306406157"
+        assert meta["publisher"] == "Penguin Books"
+        validate_schema(meta_without_private(meta))
+
+    def test_llm_success_path(self, monkeypatch):
+        ext = make_extractor(use_preprocessing=False)
+        response = json.dumps(dict(empty_metadata(), title="LLM Title"))
+        monkeypatch.setattr(ext, "_call_llm", lambda p, i: f"```json\n{response}\n```")
+        meta = ext.extract_metadata_from_images(fake_images(3), capture_trace=True)
+        assert meta["title"] == "LLM Title"
+        assert meta["_processing_info"]["ocr_images_processed"] == 2
+        assert "fallback_used" not in meta["_processing_info"]
+        steps = [s["step"] for s in meta["_trace"]["steps"]]
+        for expected in ("seed_images", "start_ocr", "ocr", "build_prompt", "encode_images", "request_sent", "vlm_raw"):
+            assert expected in steps, f"missing trace step {expected}"
+        assert meta["_trace"]["ollama_raw"].startswith("```json")
+        assert meta["_trace"]["enhanced_prompt"].startswith("You are")
+
+    def test_llm_garbage_falls_back_to_nulls(self, monkeypatch):
+        ext = make_extractor(use_preprocessing=False)
+        monkeypatch.setattr(ext, "_call_llm", lambda p, i: "I could not read the book, sorry!")
+        meta = ext.extract_metadata_from_images(fake_images(2))
+        assert meta["title"] is None
+        assert meta["_processing_info"]["fallback_used"] is True
+
+    def test_schema_violation_raises(self, monkeypatch):
+        ext = make_extractor(use_preprocessing=False)
+        monkeypatch.setattr(ext, "_call_llm", lambda p, i: '{"title": 123}')
+        with pytest.raises(Exception, match="JSON validation failed"):
+            ext.extract_metadata_from_images(fake_images(2))
+
+    def test_debug_autocrop_stub(self, monkeypatch):
+        monkeypatch.setenv("BB_OCR_DEBUG_AUTOCROP", "1")
+        ext = make_extractor(llm_backend="ollama", use_preprocessing=False)
+        meta = ext.extract_metadata_from_images(fake_images(2))
+        assert meta["_processing_info"]["model_skipped"] is True
+        assert meta["title"] is None
+
+    def test_trace_sink_receives_updates(self):
+        ext = make_extractor(llm_backend="heuristic", use_preprocessing=False)
+        seen = []
+        meta = ext.extract_metadata_from_images(
+            fake_images(2), capture_trace=True, trace_sink=seen.append
+        )
+        assert len(seen) >= 3
+        assert "images" in seen[0]
+
+    def test_process_book_directory(self, tmp_path):
+        from PIL import Image
+
+        book = tmp_path / "books" / "7"
+        book.mkdir(parents=True)
+        for i, img in enumerate(fake_images(3)):
+            Image.fromarray(img).save(book / f"IMG_{i:04d}.JPG")
+        ext = make_extractor(llm_backend="heuristic", use_preprocessing=False)
+        meta = ext.process_book_directory(str(book))
+        assert meta["_processing_info"]["total_images"] == 3
+
+
+def meta_without_private(meta):
+    return {k: v for k, v in meta.items() if not k.startswith("_")}

@@ -1,0 +1,171 @@
+"""Runtime engine, rectification, synth data, and sharded training tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from bbocr_tpu.runtime.bucketing import (
+    crop_width_for_quad,
+    letterbox_params,
+    pad_count,
+    pick_bucket,
+    pick_canvas,
+)
+from bbocr_tpu.runtime.rectify import quad_to_rect_homography, warp_crops
+
+
+class TestBucketing:
+    def test_pick_bucket(self):
+        assert pick_bucket(50, (64, 128)) == 64
+        assert pick_bucket(64, (64, 128)) == 64
+        assert pick_bucket(65, (64, 128)) == 128
+        assert pick_bucket(999, (64, 128)) == 128
+
+    def test_pad_count(self):
+        assert pad_count(3) == 8
+        assert pad_count(8) == 8
+        assert pad_count(100) == 128
+
+    def test_canvas(self):
+        c = pick_canvas(4000, 3000)
+        assert c.height > c.width  # portrait
+        scale, oh, ow = letterbox_params(4000, 3000, c)
+        assert oh <= c.height and ow <= c.width
+        assert oh == c.height or ow == c.width  # aspect-fit touches one edge
+
+    def test_crop_width(self):
+        quad = np.array([[0, 0], [100, 0], [100, 20], [0, 20]], np.float64)
+        true_w, bucket = crop_width_for_quad(quad)
+        assert true_w == 160  # 32 * (100/20)
+        assert bucket == 256
+
+
+class TestRectify:
+    def test_identity_crop(self):
+        # a quad that is already a 32-high axis-aligned rect -> pixel copy
+        img = np.zeros((64, 96), np.float32)
+        img[10:42, 20:84] = np.arange(64, dtype=np.float32)[None, :]
+        quad = np.array([[20, 10], [83, 10], [83, 41], [20, 41]], np.float64)
+        homo = quad_to_rect_homography(quad, 64)
+        crops = warp_crops(
+            jnp.asarray(img[None]),
+            jnp.asarray(homo[None].astype(np.float32)),
+            jnp.asarray([0], jnp.int32),
+            jnp.asarray([64], jnp.int32),
+            64,
+        )
+        got = np.asarray(crops)[0]
+        assert got.shape == (32, 64)
+        np.testing.assert_allclose(got[5], np.arange(64), atol=0.51)
+
+    def test_padding_replicates_last_column(self):
+        img = np.tile(np.arange(32, dtype=np.float32)[None, :], (32, 1))
+        quad = np.array([[0, 0], [15, 0], [15, 31], [0, 31]], np.float64)
+        homo = quad_to_rect_homography(quad, 16)
+        crops = warp_crops(
+            jnp.asarray(img[None]),
+            jnp.asarray(homo[None].astype(np.float32)),
+            jnp.asarray([0], jnp.int32),
+            jnp.asarray([16], jnp.int32),
+            64,
+        )
+        got = np.asarray(crops)[0]
+        np.testing.assert_allclose(
+            got[:, 16:], np.broadcast_to(got[:, 15:16], got[:, 16:].shape), atol=1e-4
+        )
+
+
+class TestSynth:
+    def test_text_lines(self):
+        from bbocr_tpu.train.synth import SynthConfig, TextLineGenerator
+
+        gen = TextLineGenerator(seed=1)
+        crops, labels, label_lens, frame_lens = gen.batch(4, width=128)
+        assert crops.shape == (4, 32, 128)
+        assert crops.min() >= 0 and crops.max() <= 255
+        assert (label_lens > 0).all()
+        assert (frame_lens == 31).all()
+
+    def test_pages(self):
+        from bbocr_tpu.train.synth import PageGenerator
+
+        gen = PageGenerator(seed=2)
+        pages, maps = gen.batch(2, height=128, width=96)
+        assert pages.shape == (2, 128, 96)
+        assert maps.shape == (2, 64, 48, 2)
+        assert maps.max() <= 1.0 and maps.max() > 0.3  # gaussians present
+
+
+class TestEngine:
+    def test_end_to_end_plumbing(self):
+        """Untrained weights: verifies shapes/batching/decode glue, not text."""
+        from bbocr_tpu.runtime import EngineConfig, OCREngine
+        from bbocr_tpu.runtime.bucketing import CanvasSpec
+
+        cfg = EngineConfig(
+            canvases=(CanvasSpec(128, 96),),
+            width_buckets=(32, 64),
+            batch_capacities=(4, 8),
+            compute_dtype=jnp.float32,
+        )
+        engine = OCREngine.create(seed=0, config=cfg)
+        img = np.random.default_rng(0).integers(0, 255, (200, 150), np.uint8)
+        results = engine.readtext_batch([img, img])
+        assert len(results) == 2
+        for res in results:
+            for box, text, conf in res:
+                assert box.shape == (4, 2)
+                assert isinstance(text, str)
+                assert 0.0 <= conf <= 1.0
+        assert isinstance(engine.read_joined(img), str)
+
+
+class TestTraining:
+    def test_single_device_step_runs(self):
+        from bbocr_tpu.train import TrainConfig, create_train_state, make_joint_train_step
+        from bbocr_tpu.train.synth import PageGenerator, TextLineGenerator
+
+        state, craft, crnn, tx = create_train_state(dtype=jnp.float32)
+        step = make_joint_train_step(craft, crnn, tx)
+        pages, maps = PageGenerator(seed=0).batch(2, 64, 64)
+        crops, labels, label_lens, frame_lens = TextLineGenerator(seed=0).batch(2, width=64)
+        batch = {
+            "pages": jnp.asarray(pages),
+            "maps": jnp.asarray(maps),
+            "crops": jnp.asarray(crops),
+            "labels": jnp.asarray(labels),
+            "label_lens": jnp.asarray(label_lens),
+            "frame_lens": jnp.asarray(frame_lens),
+        }
+        state2, metrics = step(state, batch)
+        assert int(state2.step) == 1
+        assert np.isfinite(float(metrics["loss"]))
+        assert np.isfinite(float(metrics["loss_det"]))
+        assert np.isfinite(float(metrics["loss_rec"]))
+
+    def test_mesh_sharded_step(self):
+        """dp x tp sharded joint step on the 8-device CPU mesh."""
+        from bbocr_tpu.parallel import MeshConfig, make_mesh
+        from bbocr_tpu.train import create_train_state, make_joint_train_step
+        from bbocr_tpu.train.synth import PageGenerator, TextLineGenerator
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh(MeshConfig(dp=4, tp=2))
+        state, craft, crnn, tx = create_train_state(dtype=jnp.float32)
+        step = make_joint_train_step(craft, crnn, tx, mesh=mesh, state_example=state)
+        pages, maps = PageGenerator(seed=1).batch(4, 64, 64)
+        crops, labels, label_lens, frame_lens = TextLineGenerator(seed=1).batch(4, width=64)
+        batch = {
+            "pages": jnp.asarray(pages),
+            "maps": jnp.asarray(maps),
+            "crops": jnp.asarray(crops),
+            "labels": jnp.asarray(labels),
+            "label_lens": jnp.asarray(label_lens),
+            "frame_lens": jnp.asarray(frame_lens),
+        }
+        state2, metrics = step(state, batch)
+        assert int(jax.device_get(state2.step)) == 1
+        assert np.isfinite(float(metrics["loss"]))
