@@ -1,0 +1,178 @@
+"""Training CLI: synthetic-data training for the recognizer and detector.
+
+    python -m bbocr_tpu.cli.train --component crnn --steps 3000 --batch 128
+    python -m bbocr_tpu.cli.train --component craft --steps 1500 --batch 16
+
+Host data generation runs in a thread pool feeding a prefetch queue so the
+TPU never waits on PIL rasterization; steps are donated-buffer jit calls.
+Checkpoints land in --out (default ./checkpoints) as flat .npz, which the
+serving engine picks up via BB_OCR_CKPT_DIR or the default path.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import queue
+import threading
+import time
+
+import numpy as np
+
+
+def _prefetch(make_batch, n_threads: int = 4, depth: int = 8):
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def worker(seed):
+        rng = np.random.default_rng(seed)
+        while not stop.is_set():
+            batch = make_batch(int(rng.integers(0, 1 << 31)))
+            try:
+                q.put(batch, timeout=1.0)
+            except queue.Full:
+                continue
+
+    threads = [threading.Thread(target=worker, args=(i,), daemon=True) for i in range(n_threads)]
+    for t in threads:
+        t.start()
+    return q, stop
+
+
+def train_crnn(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from bbocr_tpu.models import CRNN, EN_CHARSET
+    from bbocr_tpu.train import TrainConfig, make_optimizer
+    from bbocr_tpu.train.trainer import make_crnn_train_step
+    from bbocr_tpu.train.synth import SynthConfig, TextLineGenerator
+    from bbocr_tpu.utils.cer import corpus_cer
+    from bbocr_tpu.utils.checkpoint import save_params
+    from bbocr_tpu.decode import ctc_greedy_decode
+
+    cfg = SynthConfig()
+    crnn = CRNN(num_classes=cfg.charset.num_classes)
+    params = crnn.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 32, 64, 1), jnp.float32))
+    tx = make_optimizer(TrainConfig(learning_rate=args.lr))
+    opt_state = tx.init(params)
+    step_fn = make_crnn_train_step(crnn, tx)
+
+    width = args.width
+
+    def make_batch(seed):
+        gen = TextLineGenerator(cfg, seed=seed)
+        return gen.batch(args.batch, width=width)
+
+    q, stop = _prefetch(make_batch, n_threads=args.data_threads)
+
+    # fixed validation set
+    val_gen = TextLineGenerator(cfg, seed=999_999)
+    val_crops, val_labels, val_label_lens, _ = val_gen.batch(64, width=width)
+    val_refs = [
+        cfg.charset.decode_ids(val_labels[i][: val_label_lens[i]]) for i in range(64)
+    ]
+
+    @jax.jit
+    def predict(p, crops):
+        logits = crnn.apply(p, (crops / 127.5 - 1.0)[..., None])
+        lengths = jnp.full((crops.shape[0],), logits.shape[1], jnp.int32)
+        return ctc_greedy_decode(logits, lengths)
+
+    t0 = time.time()
+    losses = []
+    for step in range(1, args.steps + 1):
+        crops, labels, label_lens, frame_lens = q.get()
+        params, opt_state, loss = step_fn(
+            params, opt_state,
+            jnp.asarray(crops), jnp.asarray(labels),
+            jnp.asarray(label_lens), jnp.asarray(frame_lens),
+        )
+        losses.append(float(loss))
+        if step % args.log_every == 0 or step == args.steps:
+            ids, lens, _ = predict(params, jnp.asarray(val_crops))
+            ids, lens = np.asarray(ids), np.asarray(lens)
+            hyps = [cfg.charset.decode_ids(ids[i][: lens[i]]) for i in range(len(val_refs))]
+            val_cer = corpus_cer(val_refs, hyps)
+            rate = step * args.batch / (time.time() - t0)
+            print(
+                f"step {step:6d} loss {np.mean(losses[-args.log_every:]):8.4f} "
+                f"val_cer {val_cer:.4f} crops/s {rate:8.1f} "
+                f"sample {hyps[0]!r} vs {val_refs[0]!r}",
+                flush=True,
+            )
+        if step % args.save_every == 0 or step == args.steps:
+            os.makedirs(args.out, exist_ok=True)
+            save_params(os.path.join(args.out, "crnn.npz"), jax.device_get(params))
+    stop.set()
+    print(f"saved {os.path.join(args.out, 'crnn.npz')}")
+
+
+def train_craft(args) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from bbocr_tpu.models import CRAFT
+    from bbocr_tpu.train import TrainConfig, make_optimizer
+    from bbocr_tpu.train.trainer import make_craft_train_step
+    from bbocr_tpu.train.synth import PageGenerator, SynthConfig
+    from bbocr_tpu.utils.checkpoint import save_params
+
+    craft = CRAFT()
+    params = craft.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    tx = make_optimizer(TrainConfig(learning_rate=args.lr))
+    opt_state = tx.init(params)
+    step_fn = make_craft_train_step(craft, tx)
+
+    h, w = args.page_h, args.page_w
+
+    def make_batch(seed):
+        gen = PageGenerator(SynthConfig(), seed=seed)
+        return gen.batch(args.batch, h, w)
+
+    q, stop = _prefetch(make_batch, n_threads=args.data_threads)
+
+    t0 = time.time()
+    losses = []
+    for step in range(1, args.steps + 1):
+        pages, maps = q.get()
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(pages), jnp.asarray(maps)
+        )
+        losses.append(float(loss))
+        if step % args.log_every == 0 or step == args.steps:
+            rate = step * args.batch / (time.time() - t0)
+            print(
+                f"step {step:6d} loss {np.mean(losses[-args.log_every:]):8.5f} pages/s {rate:7.1f}",
+                flush=True,
+            )
+        if step % args.save_every == 0 or step == args.steps:
+            os.makedirs(args.out, exist_ok=True)
+            save_params(os.path.join(args.out, "craft.npz"), jax.device_get(params))
+    stop.set()
+    print(f"saved {os.path.join(args.out, 'craft.npz')}")
+
+
+def main():
+    p = argparse.ArgumentParser(description="Train bbocr_tpu models on synthetic data")
+    p.add_argument("--component", choices=["crnn", "craft"], required=True)
+    p.add_argument("--steps", type=int, default=2000)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--width", type=int, default=256, help="crnn crop width")
+    p.add_argument("--page-h", type=int, default=256)
+    p.add_argument("--page-w", type=int, default=192)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", type=str, default="checkpoints")
+    p.add_argument("--log-every", type=int, default=100)
+    p.add_argument("--save-every", type=int, default=500)
+    p.add_argument("--data-threads", type=int, default=4)
+    args = p.parse_args()
+    if args.component == "crnn":
+        train_crnn(args)
+    else:
+        train_craft(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -530,10 +530,14 @@ def _shared_engine():
     if "engine" not in _ENGINE_CACHE:
         from bbocr_tpu.runtime import OCREngine
 
-        ckpt_dir = os.getenv("BB_OCR_CKPT_DIR", "")
-        craft_ckpt = os.path.join(ckpt_dir, "craft.npz") if ckpt_dir else ""
-        crnn_ckpt = os.path.join(ckpt_dir, "crnn.npz") if ckpt_dir else ""
-        if craft_ckpt and os.path.exists(craft_ckpt) and os.path.exists(crnn_ckpt):
+        default_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+            "checkpoints",
+        )
+        ckpt_dir = os.getenv("BB_OCR_CKPT_DIR", default_dir)
+        craft_ckpt = os.path.join(ckpt_dir, "craft.npz")
+        crnn_ckpt = os.path.join(ckpt_dir, "crnn.npz")
+        if os.path.exists(craft_ckpt) and os.path.exists(crnn_ckpt):
             _ENGINE_CACHE["engine"] = OCREngine.from_checkpoint(craft_ckpt, crnn_ckpt)
         else:
             _ENGINE_CACHE["engine"] = OCREngine.create()

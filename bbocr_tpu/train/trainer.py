@@ -95,6 +95,54 @@ def create_train_state(
     return state, craft, crnn, tx
 
 
+def make_crnn_train_step(crnn: CRNN, tx: optax.GradientTransformation, mesh: Optional[Mesh] = None):
+    """(params, opt_state, batch) -> (params, opt_state, loss) for the
+    recognizer alone. One compiled program per crop-width bucket."""
+
+    def step(params, opt_state, crops, labels, label_lens, frame_lens):
+        def loss_fn(p):
+            return crnn_loss(crnn, p, crops, labels, label_lens, frame_lens)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+    repl = replicate_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, bsh, bsh, bsh, bsh),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
+def make_craft_train_step(
+    craft: CRAFT, tx: optax.GradientTransformation, mesh: Optional[Mesh] = None,
+    neg_ratio: float = 3.0,
+):
+    def step(params, opt_state, pages, maps):
+        def loss_fn(p):
+            return craft_loss(craft, p, pages, maps, neg_ratio)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+    repl = replicate_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, bsh, bsh),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
 def make_joint_train_step(
     craft: CRAFT,
     crnn: CRNN,
