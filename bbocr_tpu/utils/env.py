@@ -19,6 +19,24 @@ def env_flag(name: str, default: bool = False) -> bool:
     return str(raw).strip().lower() in ("1", "true", "yes", "on")
 
 
+def sync_platform_from_env() -> None:
+    """Honor the JAX_PLATFORMS env var over jax.config pinning.
+
+    This machine's axon sitecustomize registers the tunneled TPU and pins
+    ``jax_platforms="axon,cpu"`` via jax.config, which silently overrides
+    the env var; call this before first device use to restore env-var
+    semantics (e.g. JAX_PLATFORMS=cpu for tests/side processes).
+    """
+    want = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    if want == "cpu":
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+
 @functools.lru_cache(maxsize=None)
 def default_backend() -> str:
     import jax
