@@ -80,7 +80,7 @@ def train_crnn(args) -> None:
         return ctc_greedy_decode(logits, lengths)
 
     t0 = time.time()
-    losses = []
+    losses = []  # device arrays; only synced at log points
     for step in range(1, args.steps + 1):
         crops, labels, label_lens, frame_lens = q.get()
         params, opt_state, loss = step_fn(
@@ -88,15 +88,17 @@ def train_crnn(args) -> None:
             jnp.asarray(crops), jnp.asarray(labels),
             jnp.asarray(label_lens), jnp.asarray(frame_lens),
         )
-        losses.append(float(loss))
+        losses.append(loss)
         if step % args.log_every == 0 or step == args.steps:
+            mean_loss = float(np.mean([float(l) for l in losses]))
+            losses = []
             ids, lens, _ = predict(params, jnp.asarray(val_crops))
             ids, lens = np.asarray(ids), np.asarray(lens)
             hyps = [cfg.charset.decode_ids(ids[i][: lens[i]]) for i in range(len(val_refs))]
             val_cer = corpus_cer(val_refs, hyps)
             rate = step * args.batch / (time.time() - t0)
             print(
-                f"step {step:6d} loss {np.mean(losses[-args.log_every:]):8.4f} "
+                f"step {step:6d} loss {mean_loss:8.4f} "
                 f"val_cer {val_cer:.4f} crops/s {rate:8.1f} "
                 f"sample {hyps[0]!r} vs {val_refs[0]!r}",
                 flush=True,
@@ -139,11 +141,13 @@ def train_craft(args) -> None:
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(pages), jnp.asarray(maps)
         )
-        losses.append(float(loss))
+        losses.append(loss)
         if step % args.log_every == 0 or step == args.steps:
+            mean_loss = float(np.mean([float(l) for l in losses]))
+            losses = []
             rate = step * args.batch / (time.time() - t0)
             print(
-                f"step {step:6d} loss {np.mean(losses[-args.log_every:]):8.5f} pages/s {rate:7.1f}",
+                f"step {step:6d} loss {mean_loss:8.5f} pages/s {rate:7.1f}",
                 flush=True,
             )
         if step % args.save_every == 0 or step == args.steps:

@@ -52,7 +52,9 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.use_bn:
-            x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+            # GroupNorm in place of the published BatchNorm: stateless, so
+            # train and inference are the same program under jit.
+            x = nn.GroupNorm(num_groups=min(32, self.features), dtype=self.dtype)(x)
         return nn.relu(x)
 
 

@@ -26,6 +26,13 @@ from flax import linen as nn
 INPUT_HEIGHT = 32  # recognizer crop height, fixed by the architecture
 
 
+def _lstm_bias_init(key, shape, dtype=jnp.float32):
+    """Zeros with the forget-gate quarter set to +1 (gates: i, f, g, o)."""
+    b = jnp.zeros(shape, dtype)
+    h = shape[0] // 4
+    return b.at[h : 2 * h].set(1.0)
+
+
 class LSTMScan(nn.Module):
     """Unidirectional LSTM over (B, T, C) -> (B, T, H), scan-based."""
 
@@ -39,7 +46,8 @@ class LSTMScan(nn.Module):
         h = self.hidden
         init = nn.initializers.lecun_normal()
         w_ih = self.param("w_ih", init, (c, 4 * h))
-        b_ih = self.param("b_ih", nn.initializers.zeros, (4 * h,))
+        # forget-gate bias init +1 stabilizes early CTC training
+        b_ih = self.param("b_ih", _lstm_bias_init, (4 * h,))
         w_hh = self.param("w_hh", nn.initializers.orthogonal(), (h, 4 * h))
         dt = self.dtype
         # One big MXU matmul for all timesteps, time-major for the scan.
@@ -102,11 +110,14 @@ class VGGFeatures(nn.Module):
         x = nn.relu(conv(oc[2])(x))
         x = nn.relu(conv(oc[2])(x))
         x = nn.max_pool(x, (2, 1), (2, 1))  # 4 x W/4
+        # GroupNorm instead of the published BatchNorm: stateless, so the
+        # train and inference paths are identical programs (no running-stat
+        # plumbing through jit); equivalent quality for OCR.
         x = conv(oc[3], bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = conv(oc[3], bias=False)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 1), (2, 1))  # 2 x W/4
         x = nn.relu(nn.Conv(oc[3], (2, 2), padding="VALID", dtype=self.dtype)(x))

@@ -60,27 +60,70 @@ def _chain_gray(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("out_h", "out_w"))
+def _chain_gray_pallas(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """Chain variant with the conv+epilogue stages as fused Pallas kernels
+    (bbocr_tpu.kernels); numerically identical to :func:`_chain_gray`.
+
+    CLAHE and the MXU matmul-resize stay XLA; blur/enhance/unsharp each
+    become one HBM-read one HBM-write VMEM pass.
+    """
+    from bbocr_tpu.kernels import blur3_u8_pallas, enhance_u8_pallas, unsharp_u8_pallas
+
+    x = quantize_u8(img)
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    x = x.reshape((-1,) + x.shape[-2:])
+    x = resize_bicubic(x, out_h, out_w)
+    x = blur3_u8_pallas(x, 3.0)
+    mean = jnp.floor(jnp.mean(x, axis=(-2, -1)) + 0.5)
+    x = enhance_u8_pallas(x, mean, 1.9, 1.2)
+    x = clahe(x, 2.5, (8, 8))
+    x = unsharp_u8_pallas(x, 30, 3, 1.0)
+    if squeeze:
+        x = x[0]
+    return x
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w"))
 def _chain_rgb(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return _chain_gray(rgb_to_grayscale(img), out_h, out_w)
 
 
-def preprocess_for_book_cover(img: jnp.ndarray, scale: float = 1.5):
+def _use_pallas(explicit) -> bool:
+    if explicit is not None:
+        return bool(explicit)
+    from bbocr_tpu.utils.env import env_flag
+
+    return env_flag("BB_OCR_PALLAS_PREPROCESS")
+
+
+def preprocess_for_book_cover(img: jnp.ndarray, scale: float = 1.5, use_pallas=None):
     """Single-image chain. ``img``: (H, W) gray or (H, W, 3) RGB float [0,255].
 
     Returns ``(preprocessed, steps_applied)`` where ``preprocessed`` is
-    (round(H*scale), round(W*scale)) float32 in [0,255].
+    (round(H*scale), round(W*scale)) float32 in [0,255]. ``use_pallas``
+    selects the fused-kernel variant (default: BB_OCR_PALLAS_PREPROCESS).
     """
     gray = img.ndim == 2
     h, w = (img.shape[0], img.shape[1])
     out_h, out_w = int(h * scale), int(w * scale)
-    fn = _chain_gray if gray else _chain_rgb
-    out = fn(jnp.asarray(img, jnp.float32), out_h, out_w)
+    arr = jnp.asarray(img, jnp.float32)
+    if not gray:
+        arr = rgb_to_grayscale(arr)
+    fn = _chain_gray_pallas if _use_pallas(use_pallas) else _chain_gray
+    out = fn(arr, out_h, out_w)
     return out, list(BOOK_COVER_STEPS)
 
 
-def preprocess_for_book_cover_batch(imgs: jnp.ndarray, scale: float = 1.5) -> jnp.ndarray:
+def preprocess_for_book_cover_batch(
+    imgs: jnp.ndarray, scale: float = 1.5, use_pallas=None
+) -> jnp.ndarray:
     """Batched chain over (B, H, W[, 3]) — the TPU-native entry point."""
     h, w = imgs.shape[1], imgs.shape[2]
     out_h, out_w = int(h * scale), int(w * scale)
-    fn = _chain_gray if imgs.ndim == 3 else _chain_rgb
-    return fn(jnp.asarray(imgs, jnp.float32), out_h, out_w)
+    arr = jnp.asarray(imgs, jnp.float32)
+    if imgs.ndim == 4:
+        arr = rgb_to_grayscale(arr)
+    fn = _chain_gray_pallas if _use_pallas(use_pallas) else _chain_gray
+    return fn(arr, out_h, out_w)

@@ -103,7 +103,11 @@ class TextLineGenerator:
         cfg = self.config
         if text is None:
             text = self.sample_text()
-        text = "".join(c for c in text if c in cfg.charset.chars)[: cfg.max_label_len]
+        # Cap label length so a CTC alignment exists in T = width/4 - 1
+        # frames (worst case needs ~2 frames per char: char + separator).
+        frames = width // 4 - 1
+        max_chars = max(1, min(cfg.max_label_len, (frames - 1) // 2))
+        text = "".join(c for c in text if c in cfg.charset.chars)[:max_chars]
         if not text:
             text = self.rng.choice(_WORDS)
         size = self.rng.randint(18, 30)
