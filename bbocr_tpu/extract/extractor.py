@@ -494,12 +494,18 @@ class BookMetadataExtractor:
         return client.generate(self.model, prompt, images_b64, self.llm_timeout_seconds)
 
     def _processing_info(self, ocr_texts: List[str], images: Sequence) -> Dict[str, Any]:
-        return {
+        info = {
             "ocr_engine": self.ocr_engine,
             "preprocessing_used": self.use_preprocessing,
             "ocr_images_processed": len(ocr_texts),
             "total_images": len(images),
         }
+        if self._engine is not None and hasattr(self._engine, "timings"):
+            try:
+                info["engine_timings"] = self._engine.timings()
+            except Exception:
+                pass
+        return info
 
     # ------------------------------------------------------------------
     # Directory driver

@@ -34,6 +34,7 @@ from bbocr_tpu.runtime import bucketing
 from bbocr_tpu.runtime.bucketing import CanvasSpec
 from bbocr_tpu.runtime.rectify import quad_to_rect_homography, warp_crops
 from bbocr_tpu.utils.checkpoint import load_params
+from bbocr_tpu.utils.profiling import StageTimer
 
 
 @dataclass(frozen=True)
@@ -65,6 +66,7 @@ class OCREngine:
         self.craft_params = craft_params
         self.crnn_params = crnn_params
         self._lock = threading.Lock()
+        self.timers = StageTimer()
 
         def detect(params, rgb01):
             return self.craft.apply(params, normalize_image(rgb01))
@@ -138,22 +140,25 @@ class OCREngine:
         canvas_pos: Dict[int, Tuple[CanvasSpec, int]] = {}
 
         for canvas, idxs in groups.items():
-            batch = np.zeros((len(idxs), canvas.height, canvas.width), np.float32)
-            for slot, i in enumerate(idxs):
-                g = grays[i]
-                scale, oh, ow = bucketing.letterbox_params(g.shape[0], g.shape[1], canvas)
-                scales[i] = scale
-                batch[slot, :oh, :ow] = _host_resize(g, oh, ow)
-                canvas_pos[i] = (canvas, slot)
-            dev_batch = jnp.asarray(batch)
-            canvas_batches[canvas] = dev_batch
+            with self.timers.stage("letterbox"):
+                batch = np.zeros((len(idxs), canvas.height, canvas.width), np.float32)
+                for slot, i in enumerate(idxs):
+                    g = grays[i]
+                    scale, oh, ow = bucketing.letterbox_params(g.shape[0], g.shape[1], canvas)
+                    scales[i] = scale
+                    batch[slot, :oh, :ow] = _host_resize(g, oh, ow)
+                    canvas_pos[i] = (canvas, slot)
+                dev_batch = jnp.asarray(batch)
+                canvas_batches[canvas] = dev_batch
 
-            rgb01 = jnp.repeat(dev_batch[..., None], 3, axis=-1) / 255.0
-            maps = np.asarray(self._detect(self.craft_params, rgb01))
-            for slot, i in enumerate(idxs):
-                quads = extract_boxes(maps[slot, :, :, 0], maps[slot, :, :, 1], cfg.detection)
-                # map coords (half canvas) -> canvas coords
-                per_image_quads[i] = [q * 2.0 for q in quads]
+            with self.timers.stage("detect"):
+                rgb01 = jnp.repeat(dev_batch[..., None], 3, axis=-1) / 255.0
+                maps = np.asarray(self._detect(self.craft_params, rgb01))
+            with self.timers.stage("boxes"):
+                for slot, i in enumerate(idxs):
+                    quads = extract_boxes(maps[slot, :, :, 0], maps[slot, :, :, 1], cfg.detection)
+                    # map coords (half canvas) -> canvas coords
+                    per_image_quads[i] = [q * 2.0 for q in quads]
 
         # --- bucket crops across all images ------------------------------
         buckets: Dict[int, List[Tuple[int, int, np.ndarray, int]]] = {}
@@ -183,13 +188,14 @@ class OCREngine:
                     homos[k] = quad_to_rect_homography(quad, true_w)
                     img_idx[k] = canvas_pos[i][1]
                     true_ws[k] = true_w
-                crops = warp_crops(
-                    canvas_batches[canvas],
-                    jnp.asarray(homos),
-                    jnp.asarray(img_idx),
-                    jnp.asarray(true_ws),
-                    bucket_w,
-                )
+                with self.timers.stage("rectify"):
+                    crops = warp_crops(
+                        canvas_batches[canvas],
+                        jnp.asarray(homos),
+                        jnp.asarray(img_idx),
+                        jnp.asarray(true_ws),
+                        bucket_w,
+                    )
                 crop_arrays.append(crops)
                 order.extend(e_idxs)
 
@@ -199,7 +205,8 @@ class OCREngine:
             if cap > n:
                 all_crops = jnp.pad(all_crops, ((0, cap - n), (0, 0), (0, 0)))
                 lengths = np.pad(lengths, (0, cap - n))
-            ids, lens, conf = self._recognize(self.crnn_params, all_crops, jnp.asarray(np.maximum(lengths, 1)))
+            with self.timers.stage("recognize"):
+                ids, lens, conf = self._recognize(self.crnn_params, all_crops, jnp.asarray(np.maximum(lengths, 1)))
             ids = np.asarray(ids)
             lens = np.asarray(lens)
             conf = np.asarray(conf)
@@ -220,6 +227,11 @@ class OCREngine:
                 out.append((quads[j] / max(scales[i], 1e-9), text, c))
             results[i] = out
         return results
+
+    def timings(self):
+        """Per-stage wall-clock stats (letterbox/detect/boxes/rectify/
+        recognize) accumulated since engine creation."""
+        return self.timers.snapshot()
 
     def read_joined(self, image: np.ndarray) -> str:
         """The reference's usage: texts joined with spaces in reading order

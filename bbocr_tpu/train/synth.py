@@ -125,12 +125,18 @@ class TextLineGenerator:
         left, top, right, bottom = bbox
         pad = self.rng.randint(1, 4)
         crop = img.crop((max(0, left - pad), max(0, top - pad), right + pad, bottom + pad))
-        # scale to height, clamp width
-        w = max(8, min(int(crop.width * cfg.height / max(crop.height, 1)), width))
-        crop = crop.resize((w, cfg.height), Image.BILINEAR)
+        # Loose-crop augmentation: detected quads include margins around the
+        # glyphs (CRAFT dilation growth), so the text occupies only part of
+        # the rectified 32px crop; train with the same looseness.
+        text_h = int(cfg.height * self.rng.uniform(0.45, 1.0))
+        w = max(8, min(int(crop.width * text_h / max(crop.height, 1)), width))
+        crop = crop.resize((w, text_h), Image.BILINEAR)
         out = np.full((cfg.height, width), bg, np.float32)
-        out[:, :w] = np.asarray(crop, np.float32)
-        out[:, w:] = out[:, w - 1 : w]  # edge-replicate padding like the engine
+        y_off = self.rng.randint(0, cfg.height - text_h) if cfg.height > text_h else 0
+        x_off = self.rng.randint(0, max(0, min(6, width - w)))
+        out[y_off : y_off + text_h, x_off : x_off + w] = np.asarray(crop, np.float32)
+        edge = min(x_off + w, width - 1)
+        out[:, edge:] = out[:, edge - 1 : edge]  # edge-replicate like the engine
         noise = self.np_rng.normal(0.0, cfg.noise_std, out.shape)
         out = np.clip(out + noise, 0, 255)
         return out.astype(np.float32), text
@@ -169,13 +175,14 @@ class PageGenerator:
         y = self.rng.randint(4, 24)
         for _ in range(n_lines):
             text = self.lines.sample_text()
-            font = self.lines._font(self.rng.randint(12, 22))
-            tmp = Image.new("L", (width, 40), bg)
+            # wide font-size range: detection must fire across text scales
+            font = self.lines._font(self.rng.randint(10, 34))
+            tmp = Image.new("L", (width, 48), bg)
             d = ImageDraw.Draw(tmp)
             bbox = d.textbbox((2, 2), text, font=font)
             d.text((2, 2), text, fill=self.rng.randint(0, 80), font=font)
             tw = min(bbox[2] + 2, width)
-            th = min(bbox[3] + 2, 40)
+            th = min(bbox[3] + 2, 48)
             if y + th >= height:
                 break
             x = self.rng.randint(0, width - tw) if width > tw else 0

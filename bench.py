@@ -58,11 +58,20 @@ def main():
     photos = jnp.asarray(rng.integers(0, 255, (B, PH, PW)).astype(np.float32))
     canvas = jnp.asarray(rng.integers(0, 255, (B, CH, CW)).astype(np.float32))
 
+    import os
+
+    from bbocr_tpu.utils.checkpoint import load_params
+
     craft = CRAFT()
     crnn = CRNN(num_classes=EN_CHARSET.num_classes)
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    craft_params = craft.init(k1, jnp.zeros((1, 64, 64, 3), jnp.float32))
-    crnn_params = crnn.init(k2, jnp.zeros((1, 32, 64, 1), jnp.float32))
+    ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "checkpoints")
+    if os.path.exists(os.path.join(ckpt_dir, "craft.npz")):
+        craft_params = load_params(os.path.join(ckpt_dir, "craft.npz"))
+        crnn_params = load_params(os.path.join(ckpt_dir, "crnn.npz"))
+    else:
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        craft_params = craft.init(k1, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        crnn_params = crnn.init(k2, jnp.zeros((1, 32, 64, 1), jnp.float32))
 
     # stage 1: preprocessing chain (x1.5 resize -> (1584, 1200))
     pre = jax.jit(lambda x: _chain_gray(x, int(PH * 1.5), int(PW * 1.5)))
