@@ -544,7 +544,14 @@ def _shared_engine():
         craft_ckpt = os.path.join(ckpt_dir, "craft.npz")
         crnn_ckpt = os.path.join(ckpt_dir, "crnn.npz")
         if os.path.exists(craft_ckpt) and os.path.exists(crnn_ckpt):
-            _ENGINE_CACHE["engine"] = OCREngine.from_checkpoint(craft_ckpt, crnn_ckpt)
+            engine = OCREngine.from_checkpoint(craft_ckpt, crnn_ckpt)
         else:
-            _ENGINE_CACHE["engine"] = OCREngine.create()
+            engine = OCREngine.create()
+        if env_flag("BB_OCR_BATCHING", default=True):
+            # Coalesce concurrent requests into one device batch
+            # (BASELINE config 2 "batched scanner queue").
+            from bbocr_tpu.runtime.batching import BatchingOCR
+
+            engine = BatchingOCR(engine)
+        _ENGINE_CACHE["engine"] = engine
     return _ENGINE_CACHE["engine"]

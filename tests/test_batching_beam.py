@@ -1,0 +1,110 @@
+"""Cross-request batching wrapper + CTC beam search tests."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from bbocr_tpu.decode.beam import ctc_beam_decode, ctc_beam_decode_batch
+from bbocr_tpu.models.charset import EN_CHARSET
+from bbocr_tpu.runtime.batching import BatchingOCR
+
+
+class CountingEngine:
+    def __init__(self, delay=0.02):
+        self.calls = []
+        self.delay = delay
+
+    def readtext_batch(self, images):
+        self.calls.append(len(images))
+        time.sleep(self.delay)
+        return [[(np.zeros((4, 2)), f"img{np.asarray(im).sum():.0f}", 0.9)] for im in images]
+
+    def timings(self):
+        return {}
+
+
+class TestBatchingOCR:
+    def test_single_request(self):
+        eng = CountingEngine()
+        b = BatchingOCR(eng, max_batch=8, max_wait_ms=5)
+        res = b.readtext(np.ones((4, 4)))
+        assert res[0][1] == "img16"
+        b.close()
+
+    def test_concurrent_requests_coalesce(self):
+        eng = CountingEngine(delay=0.05)
+        b = BatchingOCR(eng, max_batch=16, max_wait_ms=30)
+        results = {}
+
+        def worker(i):
+            results[i] = b.readtext(np.full((2, 2), i, np.float32))
+
+        threads = [threading.Thread(target=worker, args=(i,)) for i in range(10)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert len(results) == 10
+        for i in range(10):
+            assert results[i][0][1] == f"img{i * 4}"
+        # fewer dispatches than requests -> coalescing happened
+        assert b.batches_dispatched < 10
+        assert sum(eng.calls) == 10
+        b.close()
+
+    def test_error_propagates(self):
+        class Boom:
+            def readtext_batch(self, images):
+                raise RuntimeError("device on fire")
+
+        b = BatchingOCR(Boom(), max_wait_ms=1)
+        with pytest.raises(RuntimeError, match="device on fire"):
+            b.readtext(np.zeros((2, 2)))
+        b.close()
+
+
+class TestBeamDecode:
+    def _logits(self, frames, n_cls=4, hot=8.0):
+        out = np.full((len(frames), n_cls), -hot / 2, np.float64)
+        for t, c in enumerate(frames):
+            out[t, c] = hot
+        return out
+
+    def test_matches_greedy_on_clean_input(self):
+        logits = self._logits([1, 1, 0, 2, 2, 0, 3])
+        labels, logp = ctc_beam_decode_batch(logits[None])[0]
+        assert labels == (1, 2, 3)
+        assert logp < 0
+
+    def test_beam_beats_greedy_on_ambiguity(self):
+        # Greedy picks per-frame argmax; construct frames where the blank is
+        # marginally best each frame but a consistent symbol path dominates
+        # in total probability.
+        t_len, n_cls = 4, 3
+        logits = np.zeros((t_len, n_cls))
+        logits[:, 0] = 1.00  # blank slightly ahead per frame
+        logits[:, 1] = 0.95  # symbol 1 close behind, every frame
+        logits[:, 2] = -5.0
+        labels, _ = ctc_beam_decode(
+            logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+        )
+        # greedy decodes to () (all blanks); beam recovers the symbol since
+        # sum of many symbol-path alignments outweighs the single blank path
+        assert labels == (1,)
+
+    def test_length_masking(self):
+        logits = self._logits([1, 1, 2, 2, 2, 2])
+        (labels, _), = ctc_beam_decode_batch(logits[None], lengths=[2])
+        assert labels == (1,)
+
+    def test_roundtrip_with_charset(self):
+        text = "ISBN 42"
+        ids = EN_CHARSET.encode(text)
+        frames = []
+        for i in ids:
+            frames += [i, 0]
+        logits = self._logits(frames, n_cls=EN_CHARSET.num_classes)
+        labels, _ = ctc_beam_decode_batch(logits[None])[0]
+        assert EN_CHARSET.decode_ids(labels) == text
