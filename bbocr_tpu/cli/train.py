@@ -54,21 +54,27 @@ def train_crnn(args) -> None:
     cfg = SynthConfig()
     crnn = CRNN(num_classes=cfg.charset.num_classes)
     params = crnn.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 32, 64, 1), jnp.float32))
+    if args.init_from:
+        from bbocr_tpu.utils.checkpoint import load_params
+
+        params = jax.tree_util.tree_map(jnp.asarray, load_params(args.init_from))
+        print(f"initialized from {args.init_from}", flush=True)
     tx = make_optimizer(TrainConfig(learning_rate=args.lr))
     opt_state = tx.init(params)
     step_fn = make_crnn_train_step(crnn, tx)
 
-    width = args.width
+    widths = [int(w) for w in str(args.width).split(",")]
 
     def make_batch(seed):
         gen = TextLineGenerator(cfg, seed=seed)
+        width = widths[seed % len(widths)]
         return gen.batch(args.batch, width=width)
 
     q, stop = _prefetch(make_batch, n_threads=args.data_threads)
 
-    # fixed validation set
+    # fixed validation set (largest width bucket)
     val_gen = TextLineGenerator(cfg, seed=999_999)
-    val_crops, val_labels, val_label_lens, _ = val_gen.batch(64, width=width)
+    val_crops, val_labels, val_label_lens, _ = val_gen.batch(64, width=max(widths))
     val_refs = [
         cfg.charset.decode_ids(val_labels[i][: val_label_lens[i]]) for i in range(64)
     ]
@@ -122,6 +128,11 @@ def train_craft(args) -> None:
 
     craft = CRAFT()
     params = craft.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    if args.init_from:
+        from bbocr_tpu.utils.checkpoint import load_params
+
+        params = jax.tree_util.tree_map(jnp.asarray, load_params(args.init_from))
+        print(f"initialized from {args.init_from}", flush=True)
     tx = make_optimizer(TrainConfig(learning_rate=args.lr))
     opt_state = tx.init(params)
     step_fn = make_craft_train_step(craft, tx)
@@ -162,7 +173,8 @@ def main():
     p.add_argument("--component", choices=["crnn", "craft"], required=True)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--width", type=int, default=256, help="crnn crop width")
+    p.add_argument("--width", type=str, default="256",
+                   help="crnn crop width, or comma list to mix buckets (e.g. 64,128,256,384)")
     p.add_argument("--page-h", type=int, default=256)
     p.add_argument("--page-w", type=int, default=192)
     p.add_argument("--lr", type=float, default=1e-3)
@@ -171,6 +183,8 @@ def main():
     p.add_argument("--log-every", type=int, default=100)
     p.add_argument("--save-every", type=int, default=500)
     p.add_argument("--data-threads", type=int, default=4)
+    p.add_argument("--init-from", type=str, default=None,
+                   help="warm-start params from an .npz checkpoint")
     args = p.parse_args()
     if args.component == "crnn":
         train_crnn(args)

@@ -46,6 +46,9 @@ class EngineConfig:
     # Minimum recognition confidence to keep a box (easyocr returns all;
     # 0.0 preserves that behavior).
     min_confidence: float = 0.0
+    # Crops below this confidence are retried with contrast stretching
+    # (the reference stack's contrast_ths / adjust_contrast knobs).
+    contrast_ths: float = 0.1
     compute_dtype: Any = jnp.bfloat16
 
 
@@ -205,11 +208,27 @@ class OCREngine:
             if cap > n:
                 all_crops = jnp.pad(all_crops, ((0, cap - n), (0, 0), (0, 0)))
                 lengths = np.pad(lengths, (0, cap - n))
+            dev_lengths = jnp.asarray(np.maximum(lengths, 1))
             with self.timers.stage("recognize"):
-                ids, lens, conf = self._recognize(self.crnn_params, all_crops, jnp.asarray(np.maximum(lengths, 1)))
+                ids, lens, conf = self._recognize(self.crnn_params, all_crops, dev_lengths)
             ids = np.asarray(ids)
             lens = np.asarray(lens)
             conf = np.asarray(conf)
+
+            # Low-confidence retry with contrast stretching (the reference
+            # stack's contrast_ths / adjust_contrast behavior): re-run the
+            # whole padded batch enhanced (one extra device call), keep the
+            # better result per crop.
+            if cfg.contrast_ths > 0 and float(conf[: len(order)].min(initial=1.0)) < cfg.contrast_ths:
+                with self.timers.stage("recognize_retry"):
+                    enhanced = _contrast_stretch(all_crops)
+                    ids2, lens2, conf2 = self._recognize(self.crnn_params, enhanced, dev_lengths)
+                ids2, lens2, conf2 = np.asarray(ids2), np.asarray(lens2), np.asarray(conf2)
+                better = (conf2 > conf) & (conf < cfg.contrast_ths)
+                ids = np.where(better[:, None], ids2, ids)
+                lens = np.where(better, lens2, lens)
+                conf = np.where(better, conf2, conf)
+
             for k, e_idx in enumerate(order):
                 i, j, quad, true_w = entries[e_idx]
                 text = self.charset.decode_ids(ids[k][: lens[k]])
@@ -237,6 +256,15 @@ class OCREngine:
         """The reference's usage: texts joined with spaces in reading order
         (``enhanced_extractor.py:521``)."""
         return " ".join(t for _, t, _ in self.readtext(image))
+
+
+@jax.jit
+def _contrast_stretch(crops: jnp.ndarray, lo_pct: float = 10.0, hi_pct: float = 90.0) -> jnp.ndarray:
+    """Percentile contrast stretch per crop (N, H, W) -> full [0,255] range."""
+    lo = jnp.percentile(crops, lo_pct, axis=(1, 2), keepdims=True)
+    hi = jnp.percentile(crops, hi_pct, axis=(1, 2), keepdims=True)
+    scale = 255.0 / jnp.maximum(hi - lo, 1.0)
+    return jnp.clip((crops - lo) * scale, 0.0, 255.0)
 
 
 def _host_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
