@@ -169,3 +169,24 @@ class TestTraining:
         state2, metrics = step(state, batch)
         assert int(jax.device_get(state2.step)) == 1
         assert np.isfinite(float(metrics["loss"]))
+
+
+class TestTrainCkpt:
+    def test_orbax_roundtrip(self, tmp_path):
+        import jax
+        import numpy as np
+
+        from bbocr_tpu.train import create_train_state
+        from bbocr_tpu.utils.train_ckpt import (
+            latest_checkpoint,
+            restore_train_state,
+            save_train_state,
+        )
+
+        state, *_ = create_train_state(dtype=jnp.float32)
+        path = save_train_state(str(tmp_path), state, step=3)
+        assert latest_checkpoint(str(tmp_path)) == path
+        restored = restore_train_state(path, state)
+        a = jax.tree_util.tree_leaves(state.crnn_params)[0]
+        b = jax.tree_util.tree_leaves(restored.crnn_params)[0]
+        assert np.array_equal(np.asarray(a), np.asarray(b))
