@@ -165,12 +165,12 @@ def extract_boxes(
     return quads
 
 
-def sort_reading_order(quads: List[np.ndarray]) -> List[int]:
-    """Indices sorted top-to-bottom then left-to-right (line clustering).
+def group_lines(quads: List[np.ndarray]) -> List[List[int]]:
+    """Cluster quads into text lines, top-to-bottom / left-to-right.
 
     Mirrors the line-grouping the reference gets from EasyOCR's
-    group_text_box before it joins the texts with spaces
-    (``enhanced_extractor.py:521``).
+    group_text_box (``enhanced_extractor.py:521``); also feeds the
+    heuristics structurer, which wants line structure.
     """
     if not quads:
         return []
@@ -188,8 +188,11 @@ def sort_reading_order(quads: List[np.ndarray]) -> List[int]:
         else:
             lines.append([int(i)])
             line_y.append(float(cy))
-    out: List[int] = []
     for line in lines:
         line.sort(key=lambda i: centers[i, 0])
-        out.extend(line)
-    return out
+    return lines
+
+
+def sort_reading_order(quads: List[np.ndarray]) -> List[int]:
+    """Flat indices in reading order (see :func:`group_lines`)."""
+    return [i for line in group_lines(quads) for i in line]

@@ -209,8 +209,12 @@ class BookMetadataExtractor:
         out["final"] = current
         return out
 
-    def _ocr_text(self, image: np.ndarray, image_index: Optional[int]) -> str:
-        """OCR on the processed image with the per-index downscale policy."""
+    def _ocr_text(self, image: np.ndarray, image_index: Optional[int]):
+        """OCR on the processed image with the per-index downscale policy.
+
+        Returns ``(joined_text, lines)`` — joined matches the reference's
+        space-joined readtext output; lines preserve visual structure for
+        the heuristics structurer."""
         max_dim = 1600 if (image_index is None or image_index == 0) else 2400
         h, w = image.shape[:2]
         if max(h, w) > max_dim:
@@ -222,15 +226,21 @@ class BookMetadataExtractor:
             image = np.asarray(pil, np.float32)
 
         if self.ocr_engine == "tpu":
-            return self.engine.read_joined(image)
+            eng = self.engine
+            if hasattr(eng, "read_lines"):
+                lines = eng.read_lines(image)
+                return " ".join(lines), lines
+            text = eng.read_joined(image)
+            return text, [text] if text else []
         if self.ocr_engine == "tesseract":
             try:
                 import pytesseract
                 from PIL import Image
 
-                return pytesseract.image_to_string(
+                text = pytesseract.image_to_string(
                     Image.fromarray(np.clip(image, 0, 255).astype(np.uint8))
                 )
+                return text, [ln for ln in text.split("\n") if ln.strip()]
             except ImportError as e:
                 raise RuntimeError("tesseract escape hatch unavailable (pytesseract not installed)") from e
         raise ValueError(f"Unsupported OCR engine: {self.ocr_engine}")
@@ -244,6 +254,7 @@ class BookMetadataExtractor:
         step_log: Optional[List[Dict[str, Any]]] = None,
         image_index: Optional[int] = None,
         processed: Optional[Dict[str, Any]] = None,
+        lines_out: Optional[List[str]] = None,
     ) -> str:
         """Single-image OCR with trace events (reference ``:413-561``)."""
         rgb = self._load_rgb(image)
@@ -292,10 +303,12 @@ class BookMetadataExtractor:
                     self._emit_trace(trace_global)
 
         try:
-            text = self._ocr_text(proc["final"], image_index)
+            text, lines = self._ocr_text(proc["final"], image_index)
         except Exception as e:
             print(f"OCR failed: {e}")
-            text = ""
+            text, lines = "", []
+        if lines_out is not None:
+            lines_out.extend(lines)
 
         if trace_image is not None:
             trace_image["ocr_text"] = text
@@ -347,6 +360,7 @@ class BookMetadataExtractor:
 
         # OCR phase: process once per targeted image (device programs).
         ocr_texts: List[str] = []
+        ocr_lines: List[str] = []
         for idx in ocr_indices:
             if not (0 <= idx < len(images)):
                 continue
@@ -361,6 +375,7 @@ class BookMetadataExtractor:
                 step_log=trace.get("steps") if capture_trace else None,
                 image_index=idx,
                 processed=processed[idx],
+                lines_out=ocr_lines,
             )
             if text.strip():
                 if len(text) > self.max_ocr_chars_per_image:
@@ -423,7 +438,7 @@ class BookMetadataExtractor:
 
         # Heuristic-only backend: structure straight from OCR text, no VLM.
         if self.llm_backend == "heuristic":
-            meta = heuristic_extract("\n".join(ocr_texts))
+            meta = heuristic_extract("\n".join(ocr_lines or ocr_texts))
             meta["_processing_info"] = self._processing_info(ocr_texts, images)
             meta["_processing_info"]["structurer"] = "heuristic"
             if capture_trace:

@@ -58,6 +58,15 @@ class BatchingOCR:
     def read_joined(self, image: np.ndarray, timeout: Optional[float] = None) -> str:
         return " ".join(t for _, t, _ in self.readtext(image, timeout=timeout))
 
+    def read_lines(self, image: np.ndarray, timeout: Optional[float] = None):
+        from bbocr_tpu.decode.boxes import group_lines
+
+        res = self.readtext(image, timeout=timeout)
+        if not res:
+            return []
+        lines = group_lines([r[0] for r in res])
+        return [" ".join(res[i][1] for i in line) for line in lines]
+
     def close(self) -> None:
         self._closed.set()
         self._queue.put(None)  # wake the worker

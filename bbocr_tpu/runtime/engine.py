@@ -257,6 +257,16 @@ class OCREngine:
         (``enhanced_extractor.py:521``)."""
         return " ".join(t for _, t, _ in self.readtext(image))
 
+    def read_lines(self, image: np.ndarray) -> List[str]:
+        """Text grouped into visual lines (for line-aware structurers)."""
+        from bbocr_tpu.decode.boxes import group_lines
+
+        res = self.readtext(image)
+        if not res:
+            return []
+        lines = group_lines([r[0] for r in res])
+        return [" ".join(res[i][1] for i in line) for line in lines]
+
 
 @jax.jit
 def _contrast_stretch(crops: jnp.ndarray, lo_pct: float = 10.0, hi_pct: float = 90.0) -> jnp.ndarray:
