@@ -132,7 +132,10 @@ class GeminiClient(LLMClient):
                 last_err = RuntimeError(f"Gemini 404 for {m}")
                 continue
             if resp.status_code in (403, 429) and quota_queue:
-                queue.append(quota_queue.pop(0))
+                # quota/entitlement problem: abandon the name-fallback chain
+                # and switch to the cheaper-model chain entirely
+                queue = list(quota_queue)
+                quota_queue = []
                 last_err = RuntimeError(f"Gemini {resp.status_code} for {m}")
                 continue
             raise RuntimeError(f"Gemini HTTP {resp.status_code}: {resp.text[:300]}")

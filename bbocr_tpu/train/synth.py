@@ -137,6 +137,20 @@ class TextLineGenerator:
         out[y_off : y_off + text_h, x_off : x_off + w] = np.asarray(crop, np.float32)
         edge = min(x_off + w, width - 1)
         out[:, edge:] = out[:, edge - 1 : edge]  # edge-replicate like the engine
+        # photo-like jitter: small rotation (book photos are hand-held) and
+        # mild blur, matching what rectified crops of real captures look like
+        if self.rng.random() < 0.5:
+            from PIL import Image as _Image
+
+            angle = self.rng.uniform(-2.5, 2.5)
+            pil = _Image.fromarray(out.astype(np.uint8))
+            out = np.asarray(
+                pil.rotate(angle, resample=_Image.BILINEAR, fillcolor=int(bg)),
+                np.float32,
+            )
+        if self.rng.random() < 0.3:
+            k = np.array([0.25, 0.5, 0.25])
+            out = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, out)
         noise = self.np_rng.normal(0.0, cfg.noise_std, out.shape)
         out = np.clip(out + noise, 0, 255)
         return out.astype(np.float32), text
