@@ -61,3 +61,16 @@ def _index(chars: str) -> Dict[str, int]:
 
 
 EN_CHARSET = Charset(EN_CHARS)
+
+# Latin-extended alphabet (BASELINE.json config 4 "multilingual recognition
+# heads"): EN plus the western-European accented repertoire. A recognizer
+# head sized for this charset trains from the same synthetic pipeline once
+# fonts with coverage are supplied; the engine accepts any Charset.
+LATIN_EXT_CHARS = EN_CHARS + (
+    "ÀÁÂÃÄÅÆÇÈÉÊËÌÍÎÏÐÑÒÓÔÕÖØÙÚÛÜÝÞß"
+    "àáâãäåæçèéêëìíîïðñòóôõöøùúûüýþÿ"
+    "ĀāĂăĄąĆćČčĎďĐđĒēĖėĘęĚěĞğĠġĢģĪīĮįİıĶķĹĺĻļĽľŁłŃńŅņŇňŌōŐőŒœŔŕŘřŚśŞşŠš"
+    "ŢţŤťŪūŮůŰűŲųŹźŻżŽž"
+)
+
+LATIN_EXT_CHARSET = Charset(LATIN_EXT_CHARS)

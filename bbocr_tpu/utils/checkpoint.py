@@ -34,7 +34,13 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Any:
 
 
 def save_params(path: str, params: Any) -> None:
-    np.savez_compressed(path, **_flatten(params))
+    """Atomic write (tmp + rename): concurrent readers never see a
+    truncated archive."""
+    import os
+
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **_flatten(params))
+    os.replace(tmp, path)
 
 
 def load_params(path: str) -> Any:

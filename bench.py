@@ -39,6 +39,9 @@ def _block(x):
 
 
 def main():
+    from bbocr_tpu.utils.env import sync_platform_from_env
+
+    sync_platform_from_env()  # honor JAX_PLATFORMS=cpu if set
     import jax
     import jax.numpy as jnp
 
@@ -65,10 +68,10 @@ def main():
     craft = CRAFT()
     crnn = CRNN(num_classes=EN_CHARSET.num_classes)
     ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "checkpoints")
-    if os.path.exists(os.path.join(ckpt_dir, "craft.npz")):
+    try:
         craft_params = load_params(os.path.join(ckpt_dir, "craft.npz"))
         crnn_params = load_params(os.path.join(ckpt_dir, "crnn.npz"))
-    else:
+    except Exception:
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         craft_params = craft.init(k1, jnp.zeros((1, 64, 64, 3), jnp.float32))
         crnn_params = crnn.init(k2, jnp.zeros((1, 32, 64, 1), jnp.float32))
