@@ -43,7 +43,7 @@ def train_crnn(args) -> None:
     import jax
     import jax.numpy as jnp
 
-    from bbocr_tpu.models import CRNN, EN_CHARSET
+    from bbocr_tpu.models import CRNN
     from bbocr_tpu.train import TrainConfig, make_optimizer
     from bbocr_tpu.train.trainer import make_crnn_train_step
     from bbocr_tpu.train.synth import SynthConfig, TextLineGenerator

@@ -14,7 +14,7 @@ budget"); the VLM remains the async enrichment path.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 from bbocr_tpu.extract.schema import empty_metadata
 

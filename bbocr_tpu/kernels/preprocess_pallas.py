@@ -22,7 +22,7 @@ output block. Interpret mode keeps the kernels testable on CPU.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

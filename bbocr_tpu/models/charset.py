@@ -8,7 +8,7 @@ strings are drop-in comparable (reference call site:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Sequence
 
 # digits + ASCII symbols + space + euro + latin letters (EasyOCR en ordering).

@@ -16,7 +16,7 @@ TPU-first choices:
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,6 @@ The contract is behavior (crop rectangles), not cv2 bit-exactness.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -8,7 +8,7 @@ low (SURVEY.md §7 "dynamic-width bucketing" / BASELINE.json config 4).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 

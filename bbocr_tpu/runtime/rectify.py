@@ -10,7 +10,6 @@ host<->device round trips per crop.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

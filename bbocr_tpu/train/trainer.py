@@ -10,7 +10,6 @@ on TPU. The joint step trains both models under one optimizer, sharded dp
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -17,7 +17,7 @@ import contextlib
 import os
 import threading
 import time
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 
 class StageTimer:
