@@ -157,8 +157,26 @@ def heuristic_extract(text: str) -> Dict[str, Any]:
                 break
     if not meta["authors"] and len(lines) > 1 and meta["title"] in lines:
         idx = lines.index(meta["title"])
-        if idx + 1 < len(lines):
-            cand = lines[idx + 1]
-            if 0 < len(cand) <= 60 and not any(ch.isdigit() for ch in cand):
+        for cand in lines[idx + 1 : idx + 4]:
+            if _plausible_author(cand):
                 meta["authors"] = [cand]
+                break
     return meta
+
+
+_NON_AUTHOR_RE = re.compile(
+    r"press|publish|books|house|editions|copyright|rights|reserved|printed"
+    r"|edition|impression|isbn|chapter|volume|first|all\b",
+    re.IGNORECASE,
+)
+
+
+def _plausible_author(line: str) -> bool:
+    """A name-like line: 1-5 words, no digits, no imprint vocabulary."""
+    line = line.strip()
+    if not (0 < len(line) <= 60) or any(ch.isdigit() for ch in line):
+        return False
+    if _NON_AUTHOR_RE.search(line):
+        return False
+    words = line.split()
+    return 1 <= len(words) <= 5
