@@ -142,12 +142,21 @@ class ScannerService:
             ocr_indices = (
                 _default_ocr_indices(len(image_paths)) if params["run_ocr"] else []
             )
-            return extractor.extract_metadata_from_images(
+            metadata = extractor.extract_metadata_from_images(
                 image_paths,
                 ocr_image_indices=ocr_indices,
                 capture_trace=True,
                 trace_sink=lambda tr: self.jobs.push_trace(job_id, tr),
             )
+            # Example jobs persist their output for has_output / "Load
+            # Output" replay (reference ``main.py:850-860,921-933``).
+            if job_id.startswith("example_"):
+                name = job_id[len("example_"):]
+                out_path = os.path.join(self.output_dir, f"book_{name}_enhanced.json")
+                slim = {k: v for k, v in metadata.items() if k != "_trace"}
+                with open(out_path, "w", encoding="utf-8") as f:
+                    json.dump(slim, f, indent=2, ensure_ascii=False)
+            return metadata
 
         self.jobs.submit(job_id, work, files)
 

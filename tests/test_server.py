@@ -259,3 +259,35 @@ class TestPricingEndpoints:
         base, _ = server
         r = httpx.get(base + "/processed/load", params={"path": "/etc/passwd"})
         assert r.status_code == 400
+
+
+class TestExamples:
+    def test_example_flow(self, server, tmp_path):
+        base, service = server
+        # wire a books dir with one "book"
+        book = tmp_path / "books" / "demo"
+        book.mkdir(parents=True)
+        (book / "p0.png").write_bytes(PNG_1PX)
+        (book / "p1.png").write_bytes(PNG_1PX)
+        service.books_dir = str(tmp_path / "books")
+
+        data = httpx.get(base + "/api/examples").json()
+        assert data["examples"][0]["name"] == "demo"
+        assert data["examples"][0]["has_output"] is False
+
+        r = httpx.post(base + "/api/process_example",
+                       json={"name": "demo", "llm_backend": "ollama", "model": "m"}).json()
+        assert r["status"] == "started"
+        job_id = r["id"]
+        for _ in range(100):
+            if httpx.get(base + f"/api/job_status?id={job_id}").json()["status"] in ("done", "error"):
+                break
+            time.sleep(0.1)
+        out = httpx.get(base + "/api/example_output", params={"name": "demo"}).json()
+        assert out["metadata"]["title"] == "Fake Book"
+        data = httpx.get(base + "/api/examples").json()
+        assert data["examples"][0]["has_output"] is True
+
+    def test_unknown_example(self, server):
+        base, _ = server
+        assert httpx.post(base + "/api/process_example", json={"name": "nope"}).status_code == 404
