@@ -30,7 +30,11 @@ _CURRENCY_RE = re.compile(r"(\$|USD|£|GBP|€|EUR)")
 _PUBLISHER_SUFFIX_RE = re.compile(
     r"\b([A-Z][A-Za-z&.' -]{2,40}?(?:Press|Publishing|Publishers|Publications|Books|House|Editions))\b"
 )
-_AUTHOR_BY_RE = re.compile(r"\bby\s+([A-Z][a-z]+(?:\s+[A-Z]\.?)?(?:\s+[A-Z][a-z]+)+)")
+# "by <Name Name>": same line only, and not the imprint's "published by"
+_AUTHOR_BY_RE = re.compile(
+    r"(?<![Pp]ublished )(?<![Pp]rinted )\bby[ \t]+"
+    r"([A-Z][a-z]+(?:[ \t]+[A-Z]\.?)?(?:[ \t]+[A-Z][a-z]+)+)"
+)
 _EDITION_RE = re.compile(
     r"\b((?:first|second|third|fourth|fifth|1st|2nd|3rd|\d+th|revised|limited|special)\s+(?:edition|printing|impression))\b",
     re.IGNORECASE,
@@ -105,7 +109,20 @@ def find_year(text: str) -> Optional[str]:
     return None
 
 
+_PUBLISHED_BY_RE = re.compile(
+    r"published by[ \t]+([A-Z][A-Za-z&.' -]{2,40}?)[ \t]*(?:$|[\n,.])",
+    re.IGNORECASE | re.MULTILINE,
+)
+
+
 def find_publisher(text: str) -> Optional[str]:
+    m = _PUBLISHED_BY_RE.search(text)
+    if m:
+        tail = m.group(1).strip()
+        # trim to the imprint-suffix phrase when present ("Acme Press in
+        # London" -> "Acme Press"); otherwise keep the whole name
+        suffix = _PUBLISHER_SUFFIX_RE.search(tail)
+        return suffix.group(1).strip() if suffix else tail
     m = _PUBLISHER_SUFFIX_RE.search(text)
     if m:
         return m.group(1).strip()
