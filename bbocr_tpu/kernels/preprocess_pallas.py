@@ -53,13 +53,19 @@ def _quant(x):
 # ---------------------------------------------------------------------------
 
 
-def _sepconv_kernel(img_hbm, out_ref, scratch, sem, *, taps, h_out, w_out, epilogue):
-    """One row-block: DMA rows [i*BR, i*BR + BR + 2*halo) of the padded
-    image, apply the separable filter + epilogue, write (BR, w_out)."""
+# Halo rows are over-fetched to this sublane-aligned margin: the tunneled
+# Mosaic AOT compiler rejects DMAs whose sublane extent is not a multiple
+# of 8, so each block reads [i*BR, i*BR + BR + 2*HALO_PAD) of the padded
+# image and indexes the true halo inside the window.
+HALO_PAD = 8
+
+
+def _sepconv_kernel(img_hbm, out_ref, scratch, sem, *, taps, w_out, epilogue):
+    """One row-block: aligned-window DMA + separable filter + epilogue."""
     halo = (len(taps) - 1) // 2
     i = pl.program_id(1)
     n = pl.program_id(0)
-    rows = ROW_BLOCK + 2 * halo
+    rows = ROW_BLOCK + 2 * HALO_PAD
     dma = pltpu.make_async_copy(
         img_hbm.at[n, pl.ds(i * ROW_BLOCK, rows), :],
         scratch,
@@ -68,17 +74,18 @@ def _sepconv_kernel(img_hbm, out_ref, scratch, sem, *, taps, h_out, w_out, epilo
     dma.start()
     dma.wait()
     x = scratch[:]
-    # vertical pass (static offsets -> plain slices)
+    # vertical pass: output row k reads padded rows HALO_PAD + k - halo + t
     v = None
     for t_idx, t in enumerate(taps):
-        term = float(t) * x[t_idx : t_idx + ROW_BLOCK, :]
+        off = HALO_PAD - halo + t_idx
+        term = float(t) * x[off : off + ROW_BLOCK, :]
         v = term if v is None else v + term
-    # horizontal pass
+    # horizontal pass: columns were padded by `halo` on the left
     h = None
     for t_idx, t in enumerate(taps):
         term = float(t) * v[:, t_idx : t_idx + w_out]
         h = term if h is None else h + term
-    out_ref[0] = epilogue(h, x[halo : halo + ROW_BLOCK, halo : halo + w_out])
+    out_ref[0] = epilogue(h, x[HALO_PAD : HALO_PAD + ROW_BLOCK, halo : halo + w_out])
 
 
 def _run_sepconv(img: jnp.ndarray, taps: Sequence[float], epilogue, border: str = "reflect") -> jnp.ndarray:
@@ -89,11 +96,21 @@ def _run_sepconv(img: jnp.ndarray, taps: Sequence[float], epilogue, border: str 
     n, h, w = img.shape
     halo = (len(taps) - 1) // 2
     h_pad = -(-h // ROW_BLOCK) * ROW_BLOCK
+    # border pad for the filter, then alignment pad: HALO_PAD rows top and
+    # bottom of the whole stack, lanes to a 128 multiple.
     padded = jnp.pad(img, ((0, 0), (halo, halo), (halo, halo)), mode=border)
-    padded = jnp.pad(padded, ((0, 0), (0, h_pad - h), (0, 0)))
+    w_lanes = -(-(w + 2 * halo) // 128) * 128
+    padded = jnp.pad(
+        padded,
+        (
+            (0, 0),
+            (HALO_PAD - halo, (HALO_PAD - halo) + (h_pad - h) + HALO_PAD),
+            (0, w_lanes - (w + 2 * halo)),
+        ),
+    )
 
     kernel = functools.partial(
-        _sepconv_kernel, taps=tuple(taps), h_out=h, w_out=w, epilogue=epilogue
+        _sepconv_kernel, taps=tuple(taps), w_out=w, epilogue=epilogue
     )
     out = pl.pallas_call(
         kernel,
@@ -104,7 +121,7 @@ def _run_sepconv(img: jnp.ndarray, taps: Sequence[float], epilogue, border: str 
         ),
         out_shape=jax.ShapeDtypeStruct((n, h_pad, w), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((ROW_BLOCK + 2 * halo, w + 2 * halo), jnp.float32),
+            pltpu.VMEM((ROW_BLOCK + 2 * HALO_PAD, w_lanes), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_interpret(),

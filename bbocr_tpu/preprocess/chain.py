@@ -93,9 +93,14 @@ def _chain_rgb(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
 def _use_pallas(explicit) -> bool:
     if explicit is not None:
         return bool(explicit)
-    from bbocr_tpu.utils.env import env_flag
+    import os
 
-    return env_flag("BB_OCR_PALLAS_PREPROCESS")
+    from bbocr_tpu.utils.env import env_flag, on_tpu
+
+    if os.environ.get("BB_OCR_PALLAS_PREPROCESS") is not None:
+        return env_flag("BB_OCR_PALLAS_PREPROCESS")
+    # default: fused kernels on real TPU hardware, XLA elsewhere
+    return on_tpu()
 
 
 def preprocess_for_book_cover(img: jnp.ndarray, scale: float = 1.5, use_pallas=None):
