@@ -101,8 +101,41 @@ class ScannerService:
             self.pricing_error = str(e)
 
         self.ollama_base_url = os.environ.get("BB_OCR_OLLAMA_URL", "http://127.0.0.1:11434")
+        # local Ollama must not route through proxies (reference main.py:74-78)
+        no_proxy = os.environ.get("NO_PROXY", "")
+        for host in ("127.0.0.1", "localhost"):
+            if host not in no_proxy:
+                no_proxy = f"{no_proxy},{host}" if no_proxy else host
+        os.environ["NO_PROXY"] = no_proxy
+        self.started_at = time.time()
         self.app = App()
         self._register_routes()
+        self._maybe_warm_ollama()
+
+    def _maybe_warm_ollama(self) -> None:
+        """Opt-in startup model warm-up (reference BB_OCR_OLLAMA_WARMUP,
+        main.py:425-439), in a daemon thread so startup never blocks."""
+        from bbocr_tpu.utils.env import env_flag
+
+        if not env_flag("BB_OCR_OLLAMA_WARMUP"):
+            return
+
+        def warm():
+            import requests
+
+            try:
+                requests.post(
+                    f"{self.ollama_base_url}/api/generate",
+                    json={"model": os.environ.get("BB_OCR_WARM_MODEL", "gemma3:4b"),
+                          "prompt": "ping", "stream": False},
+                    timeout=(5, 30),
+                )
+            except Exception:
+                pass
+
+        import threading
+
+        threading.Thread(target=warm, daemon=True).start()
 
     # ------------------------------------------------------------------
     # extraction jobs
@@ -235,6 +268,28 @@ class ScannerService:
                 "pipeline_import_error": self.import_error,
                 "pricing_available": self.pricing_error is None,
                 "google_sheets_configured": bool(sheets.is_configured()),
+            }
+
+        @app.route("/api/metrics")
+        async def metrics(req: Request):
+            """Operational metrics: job counts + engine stage timers."""
+            with self.jobs._lock:
+                counts: Dict[str, int] = {}
+                for job in self.jobs.jobs.values():
+                    counts[job["status"]] = counts.get(job["status"], 0) + 1
+            engine_timings = {}
+            try:
+                from bbocr_tpu.extract.extractor import _ENGINE_CACHE
+
+                eng = _ENGINE_CACHE.get("engine")
+                if eng is not None and hasattr(eng, "timings"):
+                    engine_timings = eng.timings()
+            except Exception:
+                pass
+            return {
+                "uptime_s": round(time.time() - self.started_at, 1),
+                "jobs": counts,
+                "engine_timings": engine_timings,
             }
 
         @app.route("/api/models")

@@ -291,3 +291,12 @@ class TestExamples:
     def test_unknown_example(self, server):
         base, _ = server
         assert httpx.post(base + "/api/process_example", json={"name": "nope"}).status_code == 404
+
+
+class TestMetrics:
+    def test_metrics_endpoint(self, server):
+        base, _ = server
+        data = httpx.get(base + "/api/metrics").json()
+        assert data["uptime_s"] >= 0
+        assert isinstance(data["jobs"], dict)
+        assert "engine_timings" in data
