@@ -40,6 +40,11 @@ class ConvBN(nn.Module):
     dilation: int = 1
     use_bn: bool = True
     dtype: Any = jnp.bfloat16
+    # "group": stateless GroupNorm — train == inference program (used by the
+    # framework's own training). "batch": frozen BatchNorm running stats —
+    # required when importing published torch VGG16-BN/CRAFT weights
+    # (inference only; see bbocr_tpu.models.weights).
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -52,9 +57,10 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
         )(x)
         if self.use_bn:
-            # GroupNorm in place of the published BatchNorm: stateless, so
-            # train and inference are the same program under jit.
-            x = nn.GroupNorm(num_groups=min(32, self.features), dtype=self.dtype)(x)
+            if self.norm == "batch":
+                x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
+            else:
+                x = nn.GroupNorm(num_groups=min(32, self.features), dtype=self.dtype)(x)
         return nn.relu(x)
 
 
@@ -66,10 +72,11 @@ class VGG16BN(nn.Module):
     """Backbone emitting the four skip features CRAFT consumes."""
 
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        c = lambda f: ConvBN(f, dtype=self.dtype)
+        c = lambda f: ConvBN(f, dtype=self.dtype, norm=self.norm)
         x = c(64)(x, train)
         x = c(64)(x, train)
         x = _maxpool(x)  # /2
@@ -98,11 +105,12 @@ class DoubleConv(nn.Module):
     mid: int
     out: int
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        x = ConvBN(self.mid, kernel=1, dtype=self.dtype)(x, train)
-        return ConvBN(self.out, kernel=3, dtype=self.dtype)(x, train)
+        x = ConvBN(self.mid, kernel=1, dtype=self.dtype, norm=self.norm)(x, train)
+        return ConvBN(self.out, kernel=3, dtype=self.dtype, norm=self.norm)(x, train)
 
 
 def _upsample_to(x, ref):
@@ -117,22 +125,28 @@ class CRAFT(nn.Module):
     """
 
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
+    # The published CRAFT emits raw (approximately [0,1]) scores; our
+    # from-scratch training uses a sigmoid head. Imported torch weights set
+    # final_sigmoid=False to keep the published score semantics.
+    final_sigmoid: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        f1, f2, f3, f4, f5 = VGG16BN(dtype=self.dtype)(x, train)
+        f1, f2, f3, f4, f5 = VGG16BN(dtype=self.dtype, norm=self.norm)(x, train)
         y = jnp.concatenate([f5, f4], axis=-1)  # 1536 @ /16
-        y = DoubleConv(512, 256, self.dtype)(y, train)
+        y = DoubleConv(512, 256, self.dtype, self.norm)(y, train)
         y = jnp.concatenate([_upsample_to(y, f3), f3], axis=-1)  # 256+512 @ /8
-        y = DoubleConv(256, 128, self.dtype)(y, train)
+        y = DoubleConv(256, 128, self.dtype, self.norm)(y, train)
         y = jnp.concatenate([_upsample_to(y, f2), f2], axis=-1)  # 128+256 @ /4
-        y = DoubleConv(128, 64, self.dtype)(y, train)
+        y = DoubleConv(128, 64, self.dtype, self.norm)(y, train)
         y = jnp.concatenate([_upsample_to(y, f1), f1], axis=-1)  # 64+128 @ /2
-        feat = DoubleConv(64, 32, self.dtype)(y, train)
+        feat = DoubleConv(64, 32, self.dtype, self.norm)(y, train)
         h = ConvBN(32, use_bn=False, dtype=self.dtype)(feat, train)
         h = ConvBN(32, use_bn=False, dtype=self.dtype)(h, train)
         h = ConvBN(16, use_bn=False, dtype=self.dtype)(h, train)
         h = ConvBN(16, kernel=1, use_bn=False, dtype=self.dtype)(h, train)
         out = nn.Conv(2, (1, 1), dtype=self.dtype)(h)
+        out = out.astype(jnp.float32)
         # Score maps are probabilities; sigmoid keeps train/infer consistent.
-        return jax.nn.sigmoid(out.astype(jnp.float32))
+        return jax.nn.sigmoid(out) if self.final_sigmoid else out

@@ -96,6 +96,9 @@ class VGGFeatures(nn.Module):
 
     out: int = 256
     dtype: Any = jnp.bfloat16
+    # "group" (default, trainable end-to-end) or "batch" (frozen running
+    # stats, for imported torch recognizer weights; inference only).
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,12 +115,18 @@ class VGGFeatures(nn.Module):
         x = nn.max_pool(x, (2, 1), (2, 1))  # 4 x W/4
         # GroupNorm instead of the published BatchNorm: stateless, so the
         # train and inference paths are identical programs (no running-stat
-        # plumbing through jit); equivalent quality for OCR.
+        # plumbing through jit); equivalent quality for OCR. "batch" keeps
+        # the published layout for imported torch weights.
+        def norm():
+            if self.norm == "batch":
+                return nn.BatchNorm(use_running_average=True, dtype=self.dtype)
+            return nn.GroupNorm(num_groups=32, dtype=self.dtype)
+
         x = conv(oc[3], bias=False)(x)
-        x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+        x = norm()(x)
         x = nn.relu(x)
         x = conv(oc[3], bias=False)(x)
-        x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+        x = norm()(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (2, 1), (2, 1))  # 2 x W/4
         x = nn.relu(nn.Conv(oc[3], (2, 2), padding="VALID", dtype=self.dtype)(x))
@@ -132,10 +141,11 @@ class CRNN(nn.Module):
     hidden: int = 256
     features: int = 256
     dtype: Any = jnp.bfloat16
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        seq = VGGFeatures(self.features, dtype=self.dtype)(x, train)
+        seq = VGGFeatures(self.features, dtype=self.dtype, norm=self.norm)(x, train)
         seq = BiLSTM(self.hidden, self.hidden, dtype=self.dtype, name="rnn0")(seq)
         seq = BiLSTM(self.hidden, self.hidden, dtype=self.dtype, name="rnn1")(seq)
         logits = nn.Dense(self.num_classes, dtype=self.dtype, name="head")(seq)

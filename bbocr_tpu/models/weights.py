@@ -1,0 +1,123 @@
+"""Import published torch recognizer weights (EasyOCR english_g2 layout).
+
+Gives reference users a migration path: the weights their EasyOCR install
+already has can drive this framework's recognizer directly. The recognizer
+topology (VGG feature extractor -> 2x BidirectionalLSTM -> linear CTC head)
+matches the published "generation 2" model exactly when built with
+``CRNN(..., norm="batch")``, so the state dict maps 1:1:
+
+- torch Conv OIHW -> flax HWIO;
+- torch BatchNorm weight/bias/running_mean/running_var -> flax scale/bias +
+  batch_stats (frozen; imported weights are inference-only);
+- torch LSTM weight_ih_l0 (4H, C) -> our w_ih (C, 4H); bias_ih + bias_hh
+  fold into our single bias (same i,f,g,o gate order);
+- torch Linear (out, in) -> flax kernel (in, out).
+
+The CRAFT detector is NOT imported here: the published VGG16-BN slice taps
+sit mid-stage and pre-ReLU, which differs from this rebuild's stage-aligned
+skip taps, so a state-dict remap would not reproduce published score maps.
+Detector weights come from this framework's own training (cli/train.py).
+
+Accepts either a real ``torch.load`` result (any mapping of str ->
+tensor/ndarray) — no torch import required here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import numpy as np
+
+
+def _np(x) -> np.ndarray:
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x, np.float32)
+
+
+def _strip_prefixes(sd: Mapping[str, Any]) -> Dict[str, np.ndarray]:
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        out[k] = _np(v)
+    return out
+
+
+def _conv(sd, torch_idx: int, bias: bool = True) -> Dict[str, np.ndarray]:
+    w = sd[f"FeatureExtraction.ConvNet.{torch_idx}.weight"].transpose(2, 3, 1, 0)
+    entry = {"kernel": w}
+    if bias:
+        entry["bias"] = sd[f"FeatureExtraction.ConvNet.{torch_idx}.bias"]
+    return entry
+
+
+def _bn(sd, torch_idx: int):
+    base = f"FeatureExtraction.ConvNet.{torch_idx}"
+    params = {"scale": sd[f"{base}.weight"], "bias": sd[f"{base}.bias"]}
+    stats = {"mean": sd[f"{base}.running_mean"], "var": sd[f"{base}.running_var"]}
+    return params, stats
+
+
+def _lstm(sd, base: str, reverse: bool) -> Dict[str, np.ndarray]:
+    sfx = "_reverse" if reverse else ""
+    w_ih = sd[f"{base}.rnn.weight_ih_l0{sfx}"]  # (4H, C)
+    w_hh = sd[f"{base}.rnn.weight_hh_l0{sfx}"]  # (4H, H)
+    b = sd[f"{base}.rnn.bias_ih_l0{sfx}"] + sd[f"{base}.rnn.bias_hh_l0{sfx}"]
+    return {"w_ih": w_ih.T, "w_hh": w_hh.T, "b_ih": b}
+
+
+def _linear(sd, base: str) -> Dict[str, np.ndarray]:
+    return {"kernel": sd[f"{base}.weight"].T, "bias": sd[f"{base}.bias"]}
+
+
+def import_crnn_from_torch(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """EasyOCR gen-2 recognizer state dict -> flax variables for
+    ``CRNN(num_classes=N, norm="batch")``.
+
+    Returns the full variables dict ({"params": ..., "batch_stats": ...});
+    the vocabulary size is inferred from the Prediction head.
+    """
+    sd = _strip_prefixes(state_dict)
+
+    bn0_p, bn0_s = _bn(sd, 12)
+    bn1_p, bn1_s = _bn(sd, 15)
+    vgg_params = {
+        "Conv_0": _conv(sd, 0),
+        "Conv_1": _conv(sd, 3),
+        "Conv_2": _conv(sd, 6),
+        "Conv_3": _conv(sd, 8),
+        "Conv_4": _conv(sd, 11, bias=False),
+        "BatchNorm_0": bn0_p,
+        "Conv_5": _conv(sd, 14, bias=False),
+        "BatchNorm_1": bn1_p,
+        "Conv_6": _conv(sd, 18),
+    }
+    vgg_stats = {"BatchNorm_0": bn0_s, "BatchNorm_1": bn1_s}
+
+    def bilstm(i: int) -> Dict[str, Any]:
+        base = f"SequenceModeling.{i}"
+        return {
+            "fwd": _lstm(sd, base, reverse=False),
+            "bwd": _lstm(sd, base, reverse=True),
+            "proj": _linear(sd, f"{base}.linear"),
+        }
+
+    params = {
+        "VGGFeatures_0": vgg_params,
+        "rnn0": bilstm(0),
+        "rnn1": bilstm(1),
+        "head": _linear(sd, "Prediction"),
+    }
+    batch_stats = {"VGGFeatures_0": vgg_stats}
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_crnn_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Convenience: torch.load the .pth and convert."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return import_crnn_from_torch(sd)
