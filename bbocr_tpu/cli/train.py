@@ -39,6 +39,59 @@ def _prefetch(make_batch, n_threads: int = 4, depth: int = 8):
     return q, stop
 
 
+def _train_config(args):
+    from bbocr_tpu.train import TrainConfig
+
+    return TrainConfig(
+        learning_rate=args.lr,
+        schedule=args.schedule,
+        warmup_steps=args.warmup,
+        total_steps=args.steps,
+    )
+
+
+def _maybe_resume(args, params, opt_state):
+    """Restore (params, opt_state, step) from --state-dir if a checkpoint
+    exists there; otherwise pass through with step 0."""
+    if not args.state_dir:
+        return params, opt_state, 0
+    import jax
+    import jax.numpy as jnp
+
+    from bbocr_tpu.utils.train_ckpt import latest_checkpoint, restore_train_state
+
+    path = latest_checkpoint(args.state_dir)
+    if path is None:
+        return params, opt_state, 0
+    example = {
+        "step": 0,
+        "params": jax.device_get(params),
+        "opt_state": jax.device_get(opt_state),
+    }
+    restored = restore_train_state(path, example)
+    params = jax.tree_util.tree_map(jnp.asarray, restored["params"])
+    opt_state = jax.tree_util.tree_map(
+        lambda x: jnp.asarray(x) if hasattr(x, "shape") else x, restored["opt_state"]
+    )
+    start = int(restored["step"])
+    print(f"resumed from {path} at step {start}", flush=True)
+    return params, opt_state, start
+
+
+def _maybe_save_state(args, step, params, opt_state):
+    if not args.state_dir:
+        return
+    import jax
+
+    from bbocr_tpu.utils.train_ckpt import save_train_state
+
+    save_train_state(
+        args.state_dir,
+        {"step": step, "params": jax.device_get(params), "opt_state": jax.device_get(opt_state)},
+        step=step,
+    )
+
+
 def train_crnn(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -59,8 +112,9 @@ def train_crnn(args) -> None:
 
         params = jax.tree_util.tree_map(jnp.asarray, load_params(args.init_from))
         print(f"initialized from {args.init_from}", flush=True)
-    tx = make_optimizer(TrainConfig(learning_rate=args.lr))
+    tx = make_optimizer(_train_config(args))
     opt_state = tx.init(params)
+    params, opt_state, start_step = _maybe_resume(args, params, opt_state)
     step_fn = make_crnn_train_step(crnn, tx)
 
     widths = [int(w) for w in str(args.width).split(",")]
@@ -87,7 +141,7 @@ def train_crnn(args) -> None:
 
     t0 = time.time()
     losses = []  # device arrays; only synced at log points
-    for step in range(1, args.steps + 1):
+    for step in range(start_step + 1, args.steps + 1):
         crops, labels, label_lens, frame_lens = q.get()
         params, opt_state, loss = step_fn(
             params, opt_state,
@@ -102,7 +156,7 @@ def train_crnn(args) -> None:
             ids, lens = np.asarray(ids), np.asarray(lens)
             hyps = [cfg.charset.decode_ids(ids[i][: lens[i]]) for i in range(len(val_refs))]
             val_cer = corpus_cer(val_refs, hyps)
-            rate = step * args.batch / (time.time() - t0)
+            rate = (step - start_step) * args.batch / (time.time() - t0)
             print(
                 f"step {step:6d} loss {mean_loss:8.4f} "
                 f"val_cer {val_cer:.4f} crops/s {rate:8.1f} "
@@ -112,6 +166,7 @@ def train_crnn(args) -> None:
         if step % args.save_every == 0 or step == args.steps:
             os.makedirs(args.out, exist_ok=True)
             save_params(os.path.join(args.out, "crnn.npz"), jax.device_get(params))
+            _maybe_save_state(args, step, params, opt_state)
     stop.set()
     print(f"saved {os.path.join(args.out, 'crnn.npz')}")
 
@@ -133,8 +188,9 @@ def train_craft(args) -> None:
 
         params = jax.tree_util.tree_map(jnp.asarray, load_params(args.init_from))
         print(f"initialized from {args.init_from}", flush=True)
-    tx = make_optimizer(TrainConfig(learning_rate=args.lr))
+    tx = make_optimizer(_train_config(args))
     opt_state = tx.init(params)
+    params, opt_state, start_step = _maybe_resume(args, params, opt_state)
     step_fn = make_craft_train_step(craft, tx)
 
     h, w = args.page_h, args.page_w
@@ -147,7 +203,7 @@ def train_craft(args) -> None:
 
     t0 = time.time()
     losses = []
-    for step in range(1, args.steps + 1):
+    for step in range(start_step + 1, args.steps + 1):
         pages, maps = q.get()
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(pages), jnp.asarray(maps)
@@ -156,7 +212,7 @@ def train_craft(args) -> None:
         if step % args.log_every == 0 or step == args.steps:
             mean_loss = float(np.mean([float(l) for l in losses]))
             losses = []
-            rate = step * args.batch / (time.time() - t0)
+            rate = (step - start_step) * args.batch / (time.time() - t0)
             print(
                 f"step {step:6d} loss {mean_loss:8.5f} pages/s {rate:7.1f}",
                 flush=True,
@@ -164,6 +220,7 @@ def train_craft(args) -> None:
         if step % args.save_every == 0 or step == args.steps:
             os.makedirs(args.out, exist_ok=True)
             save_params(os.path.join(args.out, "craft.npz"), jax.device_get(params))
+            _maybe_save_state(args, step, params, opt_state)
     stop.set()
     print(f"saved {os.path.join(args.out, 'craft.npz')}")
 
@@ -185,6 +242,12 @@ def main():
     p.add_argument("--data-threads", type=int, default=4)
     p.add_argument("--init-from", type=str, default=None,
                    help="warm-start params from an .npz checkpoint")
+    p.add_argument("--schedule", choices=["constant", "cosine"], default="constant",
+                   help="LR schedule (cosine = warmup then cosine decay over --steps)")
+    p.add_argument("--warmup", type=int, default=0, help="linear warmup steps")
+    p.add_argument("--state-dir", type=str, default=None,
+                   help="orbax train-state dir: saves full resumable state every "
+                        "--save-every and auto-resumes from the latest checkpoint")
     args = p.parse_args()
     if args.component == "crnn":
         train_crnn(args)

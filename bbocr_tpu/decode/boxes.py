@@ -19,7 +19,7 @@ from typing import List
 
 import numpy as np
 
-from bbocr_tpu.native import connected_components
+from bbocr_tpu.native import connected_components, extract_quads_native
 
 
 @dataclass(frozen=True)
@@ -29,6 +29,9 @@ class DetectionParams:
     link_threshold: float = 0.4
     low_text: float = 0.4
     min_size_px: int = 10
+    # Route the whole postprocessing through the one-call C++ path when the
+    # native library is available (numpy path kept for parity tests/fallback).
+    use_native: bool = True
 
 
 def _cross2(o: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
@@ -112,6 +115,15 @@ def extract_boxes(
     >= min_size and max region score >= text_threshold, expanded by
     niter = sqrt(area * min(w, h) / (w * h)) * 2.
     """
+    if params.use_native:
+        quads = extract_quads_native(
+            region, affinity,
+            params.text_threshold, params.link_threshold,
+            params.low_text, params.min_size_px,
+        )
+        if quads is not None:
+            return [q for q in quads]
+
     mask = (region > params.low_text) | (affinity > params.link_threshold)
     labels, stats = connected_components(mask.astype(np.uint8), score=region, connectivity=4)
     if stats.shape[0] == 0:

@@ -65,6 +65,19 @@ def _load():
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.c_int32,
             ]
+            lib.bbocr_extract_quads.restype = ctypes.c_int32
+            lib.bbocr_extract_quads.argtypes = [
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_float,
+                ctypes.c_float,
+                ctypes.c_float,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int32,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -102,6 +115,41 @@ def connected_components(mask: np.ndarray, score: np.ndarray | None = None, conn
         )
         return labels, stats[:n].copy()
     return _connected_components_numpy(mask, score, connectivity)
+
+
+MAX_QUADS = 4096
+
+
+def extract_quads_native(
+    region: np.ndarray,
+    affinity: np.ndarray,
+    text_threshold: float,
+    link_threshold: float,
+    low_text: float,
+    min_size: int,
+) -> np.ndarray | None:
+    """Full detection postprocessing in one C++ call.
+
+    Returns (N, 4, 2) float64 quads (top-left first, clockwise) or None when
+    the native library is unavailable (caller falls back to the numpy path).
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "bbocr_extract_quads"):
+        return None
+    region = np.ascontiguousarray(region, np.float32)
+    affinity = np.ascontiguousarray(affinity, np.float32)
+    h, w = region.shape
+    quads = np.empty((MAX_QUADS, 4, 2), np.float64)
+    n = lib.bbocr_extract_quads(
+        region.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        affinity.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        h, w,
+        float(text_threshold), float(link_threshold), float(low_text),
+        int(min_size),
+        quads.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        MAX_QUADS,
+    )
+    return quads[:n].copy()
 
 
 def _connected_components_numpy(mask, score, connectivity):

@@ -6,6 +6,7 @@ from bbocr_tpu.train.trainer import (
     crnn_loss,
     make_joint_train_step,
     make_optimizer,
+    make_schedule,
 )
 
 __all__ = [
@@ -16,4 +17,5 @@ __all__ = [
     "crnn_loss",
     "make_joint_train_step",
     "make_optimizer",
+    "make_schedule",
 ]

@@ -29,6 +29,12 @@ class TrainConfig:
     grad_clip: float = 5.0
     # Online hard-negative balance for detector MSE (text pixels are sparse).
     detector_neg_ratio: float = 3.0
+    # LR schedule: "constant" or "cosine" (linear warmup -> cosine decay to
+    # learning_rate * final_lr_frac over total_steps).
+    schedule: str = "constant"
+    warmup_steps: int = 0
+    total_steps: int = 0
+    final_lr_frac: float = 0.05
 
 
 class TrainState(NamedTuple):
@@ -38,10 +44,31 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
+def make_schedule(config: TrainConfig):
+    """LR schedule per config: constant, warmup-only, or warmup+cosine."""
+    if config.schedule == "cosine":
+        if config.total_steps <= 0:
+            raise ValueError("cosine schedule requires total_steps > 0")
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if config.warmup_steps > 0 else config.learning_rate,
+            peak_value=config.learning_rate,
+            warmup_steps=max(config.warmup_steps, 1),
+            decay_steps=config.total_steps,
+            end_value=config.learning_rate * config.final_lr_frac,
+        )
+    if config.warmup_steps > 0:
+        return optax.linear_schedule(
+            init_value=0.0,
+            end_value=config.learning_rate,
+            transition_steps=config.warmup_steps,
+        )
+    return config.learning_rate
+
+
 def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
     return optax.chain(
         optax.clip_by_global_norm(config.grad_clip),
-        optax.adamw(config.learning_rate, weight_decay=config.weight_decay),
+        optax.adamw(make_schedule(config), weight_decay=config.weight_decay),
     )
 
 

@@ -93,3 +93,34 @@ class TestBoxes:
         region = np.zeros((32, 32), np.float32)
         region[5:12, 5:20] = 0.5  # above low_text but below text_threshold
         assert extract_boxes(region, np.zeros_like(region)) == []
+
+    def test_native_quads_match_numpy(self):
+        """One-call C++ postprocessing == the reference numpy pipeline."""
+        from bbocr_tpu.native import native_available
+
+        if not native_available():
+            pytest.skip("native library unavailable")
+        rng = np.random.default_rng(42)
+        for trial in range(8):
+            h, w = 96, 128
+            region = np.zeros((h, w), np.float32)
+            affinity = np.zeros((h, w), np.float32)
+            # random word-ish blobs, some rotated via coordinate shear
+            for _ in range(rng.integers(1, 7)):
+                y0 = int(rng.integers(0, h - 12))
+                x0 = int(rng.integers(0, w - 30))
+                bh = int(rng.integers(4, 10))
+                bw = int(rng.integers(8, 28))
+                val = float(rng.uniform(0.45, 0.95))
+                region[y0 : y0 + bh, x0 : x0 + bw] = val
+                if rng.uniform() < 0.5:
+                    affinity[y0 + bh // 2, x0 : x0 + bw] = 0.6
+            region += rng.uniform(0, 0.2, (h, w)).astype(np.float32)
+
+            p_native = DetectionParams(use_native=True)
+            p_numpy = DetectionParams(use_native=False)
+            qn = extract_boxes(region, affinity, p_native)
+            qp = extract_boxes(region, affinity, p_numpy)
+            assert len(qn) == len(qp), f"trial {trial}: {len(qn)} vs {len(qp)}"
+            for a, b in zip(qn, qp):
+                np.testing.assert_allclose(a, b, atol=1e-6)

@@ -190,3 +190,78 @@ class TestTrainCkpt:
         a = jax.tree_util.tree_leaves(state.crnn_params)[0]
         b = jax.tree_util.tree_leaves(restored.crnn_params)[0]
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestSchedules:
+    def test_constant(self):
+        from bbocr_tpu.train import TrainConfig, make_schedule
+
+        sched = make_schedule(TrainConfig(learning_rate=3e-4))
+        assert sched == pytest.approx(3e-4)
+
+    def test_warmup_cosine(self):
+        from bbocr_tpu.train import TrainConfig, make_schedule
+
+        cfg = TrainConfig(
+            learning_rate=1e-3, schedule="cosine", warmup_steps=100, total_steps=1000
+        )
+        sched = make_schedule(cfg)
+        assert float(sched(0)) == pytest.approx(0.0)
+        assert float(sched(100)) == pytest.approx(1e-3)
+        assert float(sched(1000)) == pytest.approx(1e-3 * cfg.final_lr_frac, rel=1e-3)
+        # monotone decay after the peak
+        assert float(sched(500)) < float(sched(200))
+
+    def test_cosine_requires_total_steps(self):
+        from bbocr_tpu.train import TrainConfig, make_schedule
+
+        with pytest.raises(ValueError):
+            make_schedule(TrainConfig(schedule="cosine"))
+
+    def test_warmup_only(self):
+        from bbocr_tpu.train import TrainConfig, make_schedule
+
+        sched = make_schedule(TrainConfig(learning_rate=2e-4, warmup_steps=10))
+        assert float(sched(0)) == pytest.approx(0.0)
+        assert float(sched(10)) == pytest.approx(2e-4)
+        assert float(sched(100)) == pytest.approx(2e-4)
+
+
+class TestCliResume:
+    def test_resume_roundtrip(self, tmp_path):
+        """_maybe_save_state / _maybe_resume round-trip params+opt+step."""
+        import argparse
+
+        import optax
+
+        from bbocr_tpu.cli.train import _maybe_resume, _maybe_save_state
+
+        params = {"w": jnp.arange(4, dtype=jnp.float32)}
+        tx = optax.adam(1e-3)
+        opt_state = tx.init(params)
+        # advance one step so opt_state is non-trivial
+        grads = {"w": jnp.ones(4, jnp.float32)}
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        args = argparse.Namespace(state_dir=str(tmp_path))
+        _maybe_save_state(args, 7, params, opt_state)
+
+        fresh_params = {"w": jnp.zeros(4, jnp.float32)}
+        fresh_opt = tx.init(fresh_params)
+        r_params, r_opt, start = _maybe_resume(args, fresh_params, fresh_opt)
+        assert start == 7
+        assert np.allclose(np.asarray(r_params["w"]), np.asarray(params["w"]))
+        c0 = jax.tree_util.tree_leaves(opt_state)
+        c1 = jax.tree_util.tree_leaves(r_opt)
+        assert len(c0) == len(c1)
+
+    def test_no_state_dir_passthrough(self):
+        import argparse
+
+        from bbocr_tpu.cli.train import _maybe_resume
+
+        params = {"w": jnp.zeros(2)}
+        args = argparse.Namespace(state_dir=None)
+        p, o, s = _maybe_resume(args, params, None)
+        assert s == 0 and p is params and o is None
