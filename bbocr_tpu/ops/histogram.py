@@ -106,15 +106,21 @@ def otsu_threshold(img: jnp.ndarray, maxval: float = 255.0, inverse: bool = Fals
 # ---------------------------------------------------------------------------
 
 
-def _clahe_luts(tiles_vals: jnp.ndarray, clip_limit: float, tile_area: int) -> jnp.ndarray:
-    """(T, tile_area) int32 pixel values -> (T, 256) float LUTs, cv2 math."""
-    n_tiles = tiles_vals.shape[0]
+def _tile_hists(tiles_vals: jnp.ndarray) -> jnp.ndarray:
+    """(T, P) int32 -> (T, 256) float32 histograms.
 
-    def tile_hist(v):
-        return _hist256(v)
+    One-hot compare-reduce instead of scatter-add: XLA fuses the broadcast
+    compare into the reduction (no materialization), and on TPU this stays
+    on the VPU while scatters serialize (~12x faster on full-size covers).
+    """
+    bins = jnp.arange(256, dtype=tiles_vals.dtype)
+    return jnp.sum(
+        (tiles_vals[:, :, None] == bins[None, None, :]).astype(jnp.float32), axis=1
+    )
 
-    hist = jax.vmap(tile_hist)(tiles_vals)  # (T, 256) float counts
 
+def _clahe_luts_from_hist(hist: jnp.ndarray, clip_limit: float, tile_area: int) -> jnp.ndarray:
+    """(T, 256) float histograms -> (T, 256) float LUTs, cv2 math."""
     clip_int = max(int(clip_limit * tile_area / 256.0), 1)
     clip = jnp.asarray(float(clip_int), jnp.float32)
     excess = jnp.maximum(hist - clip, 0.0)
@@ -135,48 +141,100 @@ def _clahe_luts(tiles_vals: jnp.ndarray, clip_limit: float, tile_area: int) -> j
     return jnp.clip(lut, 0, 255)
 
 
-def _clahe_2d(img: jnp.ndarray, clip_limit: float, tiles_y: int, tiles_x: int) -> jnp.ndarray:
-    h, w = img.shape
+def _clahe_batched(
+    img: jnp.ndarray, clip_limit: float, tiles_y: int, tiles_x: int
+) -> jnp.ndarray:
+    """(N, H, W) float [0,255] -> CLAHE'd (N, H, W), cv2 math, TPU-shaped.
+
+    The per-pixel 4-LUT bilinear gather of the textbook formulation is
+    restructured into half-tile-shifted blocks: every pixel of a block shares
+    the same four neighboring tile LUTs, so the lookup becomes a one-hot
+    matmul (MXU) against a (256, 4) table and the bilinear weights become two
+    fixed ramps. LUT values split L = 2*floor(L/2) + (L&1) keep the bf16
+    matmul exact (one-hot rows select a single entry; halves are <= 127).
+    """
+    n, h, w = img.shape
     th = -(-h // tiles_y)  # ceil
     tw = -(-w // tiles_x)
     hp, wp = th * tiles_y, tw * tiles_x
-    padded = jnp.pad(img, ((0, hp - h), (0, wp - w)), mode="reflect")
-    vals = _as_u8_int(padded)
+    padded = jnp.pad(img, ((0, 0), (0, hp - h), (0, wp - w)), mode="reflect")
+    vals = _as_u8_int(padded)  # (n, hp, wp)
 
-    tiles = vals.reshape(tiles_y, th, tiles_x, tw).transpose(0, 2, 1, 3)
-    tiles = tiles.reshape(tiles_y * tiles_x, th * tw)
-    luts = _clahe_luts(tiles, clip_limit, th * tw)  # (T, 256)
-    lut_flat = luts.reshape(-1)  # (T*256,)
-
-    ys = jnp.arange(hp, dtype=jnp.float32)
-    xs = jnp.arange(wp, dtype=jnp.float32)
-    tyf = ys / th - 0.5
-    txf = xs / tw - 0.5
-    ty1 = jnp.floor(tyf)
-    tx1 = jnp.floor(txf)
-    ya = (tyf - ty1)[:, None]
-    xa = (txf - tx1)[None, :]
-    ty1i = jnp.clip(ty1, 0, tiles_y - 1).astype(jnp.int32)
-    ty2i = jnp.clip(ty1 + 1, 0, tiles_y - 1).astype(jnp.int32)
-    tx1i = jnp.clip(tx1, 0, tiles_x - 1).astype(jnp.int32)
-    tx2i = jnp.clip(tx1 + 1, 0, tiles_x - 1).astype(jnp.int32)
-
-    def lut_at(tyi, txi):
-        tile_idx = tyi[:, None] * tiles_x + txi[None, :]
-        return lut_flat[tile_idx * 256 + vals]
-
-    v11 = lut_at(ty1i, tx1i)
-    v12 = lut_at(ty1i, tx2i)
-    v21 = lut_at(ty2i, tx1i)
-    v22 = lut_at(ty2i, tx2i)
-    out = (
-        v11 * (1 - xa) * (1 - ya)
-        + v12 * xa * (1 - ya)
-        + v21 * (1 - xa) * ya
-        + v22 * xa * ya
+    tiles = (
+        vals.reshape(n, tiles_y, th, tiles_x, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n * tiles_y * tiles_x, th * tw)
     )
-    out = jnp.clip(jnp.round(out), 0, 255)
-    return out[:h, :w].astype(jnp.float32)
+    hist = _tile_hists(tiles)
+    luts = _clahe_luts_from_hist(hist, clip_limit, th * tw)
+    luts = luts.reshape(n, tiles_y, tiles_x, 256)
+
+    # Edge-replicated LUT grid: block (by, bx) interpolates the four LUTs
+    # lutp[by:by+2, bx:bx+2], which reproduces cv2's clipped neighbor
+    # indexing (ty1 = clip(by-1), ty2 = clip(by)).
+    lutp = jnp.pad(luts, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    l4 = jnp.stack(
+        [
+            lutp[:, :-1, :-1],  # top-left
+            lutp[:, :-1, 1:],   # top-right
+            lutp[:, 1:, :-1],   # bottom-left
+            lutp[:, 1:, 1:],    # bottom-right
+        ],
+        axis=-1,
+    )  # (n, ty+1, tx+1, 256, 4)
+    nb = n * (tiles_y + 1) * (tiles_x + 1)
+    l4 = l4.reshape(nb, 256, 4)
+
+    # Half-tile shift makes the 4-LUT neighborhoods block-uniform.
+    pt, pl = th // 2, tw // 2
+    shifted = jnp.pad(vals, ((0, 0), (pt, th - pt), (pl, tw - pl)), mode="edge")
+    vb = (
+        shifted.reshape(n, tiles_y + 1, th, tiles_x + 1, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(nb, th * tw)
+    )
+
+    # Bilinear ramps, identical for every block: ya = frac(y/th - 0.5).
+    ya = (jnp.arange(th, dtype=jnp.float32) - pt) / th + 0.5
+    xa = (jnp.arange(tw, dtype=jnp.float32) - pl) / tw + 0.5
+    wy = jnp.stack([1.0 - ya, ya], axis=1)  # (th, 2)
+    wx = jnp.stack([1.0 - xa, xa], axis=1)  # (tw, 2)
+    w4 = (wy[:, None, :, None] * wx[None, :, None, :]).reshape(th * tw, 4)
+
+    # Exact bf16 split: vals = 2*dot(oh, floor(L/2)) + dot(oh, L mod 2).
+    lh = jnp.floor(l4 / 2.0)
+    l8 = jnp.concatenate([lh, l4 - 2.0 * lh], axis=-1).astype(jnp.bfloat16)
+    w8 = jnp.concatenate([2.0 * w4, w4], axis=-1)  # (P, 8)
+
+    chunk = 16
+    nb_pad = -(-nb // chunk) * chunk
+    vb = jnp.pad(vb, ((0, nb_pad - nb), (0, 0)))
+    l8 = jnp.pad(l8, ((0, nb_pad - nb), (0, 0), (0, 0)))
+
+    def chunk_fn(args):
+        v_c, l_c = args  # (chunk, P) int32, (chunk, 256, 8) bf16
+        oh = jax.nn.one_hot(v_c, 256, dtype=jnp.bfloat16)
+        picked = jax.lax.dot_general(
+            oh, l_c, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (chunk, P, 8)
+        return jnp.einsum("cpk,pk->cp", picked, w8)
+
+    out_blocks = jax.lax.map(
+        chunk_fn,
+        (
+            vb.reshape(nb_pad // chunk, chunk, th * tw),
+            l8.reshape(nb_pad // chunk, chunk, 256, 8),
+        ),
+    ).reshape(nb_pad, th * tw)[:nb]
+
+    out = (
+        out_blocks.reshape(n, tiles_y + 1, tiles_x + 1, th, tw)
+        .transpose(0, 1, 3, 2, 4)
+        .reshape(n, hp + th, wp + tw)
+    )
+    out = out[:, pt : pt + h, pl : pl + w]
+    return jnp.clip(jnp.round(out), 0, 255).astype(jnp.float32)
 
 
 def clahe(
@@ -186,4 +244,8 @@ def clahe(
 ) -> jnp.ndarray:
     """cv2.createCLAHE(clipLimit, tileGridSize).apply — batched, jittable."""
     ty, tx = tile_grid
-    return _batched(_clahe_2d)(img, clip_limit, ty, tx)
+    if img.ndim == 2:
+        return _clahe_batched(img[None], clip_limit, ty, tx)[0]
+    flat = img.reshape((-1,) + img.shape[-2:])
+    out = _clahe_batched(flat, clip_limit, ty, tx)
+    return out.reshape(img.shape[:-2] + out.shape[-2:])

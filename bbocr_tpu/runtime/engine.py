@@ -66,8 +66,11 @@ class OCREngine:
         self.charset = charset
         self.craft = CRAFT(dtype=config.compute_dtype)
         self.crnn = CRNN(num_classes=charset.num_classes, dtype=config.compute_dtype)
-        self.craft_params = craft_params
-        self.crnn_params = crnn_params
+        # Pin parameters to the device once: checkpoint loaders hand back
+        # numpy trees, and leaving them as numpy re-uploads every weight on
+        # every jit call (dominates serving latency on tunneled links).
+        self.craft_params = jax.tree_util.tree_map(jnp.asarray, craft_params)
+        self.crnn_params = jax.tree_util.tree_map(jnp.asarray, crnn_params)
         self._lock = threading.Lock()
         self.timers = StageTimer()
 

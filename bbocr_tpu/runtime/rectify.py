@@ -92,10 +92,14 @@ def warp_crops(
     x1i = jnp.minimum(x0i + 1, w_img - 1)
     y1i = jnp.minimum(y0i + 1, h_img - 1)
 
-    bidx = img_idx[:, None, None]
+    # Flat 1-D gathers from the flattened image stack: XLA lowers these
+    # measurably faster on TPU than the equivalent (b, y, x) advanced
+    # indexing (single index operand instead of three).
+    flat = images.reshape(-1)
+    base = img_idx[:, None, None] * (h_img * w_img)
 
     def g(yy, xx):
-        return images[bidx, yy, xx]
+        return flat[base + yy * w_img + xx]
 
     v00 = g(y0i, x0i)
     v01 = g(y0i, x1i)

@@ -22,7 +22,7 @@ import numpy as np
 
 
 def _time(fn, reps=5):
-    fn()  # warmup/compile
+    _block(fn())  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn()
@@ -31,11 +31,17 @@ def _time(fn, reps=5):
 
 
 def _block(x):
+    """Synchronize on a result tree.
+
+    block_until_ready() can return before execution completes on relayed
+    backends, so force a tiny host readback of one element per leaf — the
+    transfer cannot complete until the producing computation has.
+    """
     import jax
 
-    jax.tree_util.tree_map(
-        lambda a: a.block_until_ready() if hasattr(a, "block_until_ready") else a, x
-    )
+    for leaf in jax.tree_util.tree_leaves(x):
+        if hasattr(leaf, "ravel"):
+            jax.device_get(leaf.ravel()[0])
 
 
 def main():
@@ -75,6 +81,9 @@ def main():
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
         craft_params = craft.init(k1, jnp.zeros((1, 64, 64, 3), jnp.float32))
         crnn_params = crnn.init(k2, jnp.zeros((1, 32, 64, 1), jnp.float32))
+    # Device-resident weights (numpy trees re-upload per call otherwise).
+    craft_params = jax.tree_util.tree_map(jnp.asarray, craft_params)
+    crnn_params = jax.tree_util.tree_map(jnp.asarray, crnn_params)
 
     # stage 1: preprocessing chain (x1.5 resize -> (1584, 1200))
     pre = jax.jit(lambda x: _chain_gray(x, int(PH * 1.5), int(PW * 1.5)))
