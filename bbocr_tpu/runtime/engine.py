@@ -50,6 +50,11 @@ class EngineConfig:
     # (the reference stack's contrast_ths / adjust_contrast knobs).
     contrast_ths: float = 0.1
     compute_dtype: Any = jnp.bfloat16
+    # For requests this small (images), collapse all width buckets into the
+    # widest needed one: each bucket is a separate device round trip, and on
+    # relayed links round-trip latency beats the extra padded FLOPs for
+    # single-photo p50. Lengths/padding semantics make results equivalent.
+    merge_buckets_below: int = 2
 
 
 class OCREngine:
@@ -77,11 +82,39 @@ class OCREngine:
         def detect(params, rgb01):
             return self.craft.apply(params, normalize_image(rgb01))
 
-        def recognize(params, crops, lengths):
+        def _decode(params, crops, lengths):
             # crops (N, 32, W) in [0,255] -> normalized (N, 32, W, 1)
             x = (crops / 127.5 - 1.0)[..., None]
             logits = self.crnn.apply(params, x)
             return ctc_greedy_decode(logits, lengths)
+
+        def recognize(params, crops, lengths, valid):
+            """Recognition with the contrast-retry folded into the program.
+
+            The reference stack re-runs low-confidence crops with adjusted
+            contrast (easyocr contrast_ths/adjust_contrast). Doing that as a
+            second host-driven call costs a full device round trip; here a
+            lax.cond re-runs the batch contrast-stretched ON DEVICE only when
+            some valid crop is below the threshold, and keeps the better
+            result per crop.
+            """
+            ids, lens, conf = _decode(params, crops, lengths)
+            if config.contrast_ths <= 0:
+                return ids, lens, conf
+
+            def retry(_):
+                ids2, lens2, conf2 = _decode(params, _contrast_stretch(crops), lengths)
+                better = (conf2 > conf) & (conf < config.contrast_ths) & valid
+                return (
+                    jnp.where(better[:, None], ids2, ids),
+                    jnp.where(better, lens2, lens),
+                    jnp.where(better, conf2, conf),
+                )
+
+            worst = jnp.min(jnp.where(valid, conf, 1.0))
+            return jax.lax.cond(
+                worst < config.contrast_ths, retry, lambda _: (ids, lens, conf), None
+            )
 
         self._detect = jax.jit(detect)
         self._recognize = jax.jit(recognize)
@@ -172,6 +205,11 @@ class OCREngine:
             for j, quad in enumerate(per_image_quads[i]):
                 true_w, bucket_w = bucketing.crop_width_for_quad(quad, cfg.width_buckets)
                 buckets.setdefault(bucket_w, []).append((i, j, quad, true_w))
+        if len(buckets) > 1 and n_img < cfg.merge_buckets_below:
+            merged: List[Tuple[int, int, np.ndarray, int]] = []
+            for entries in buckets.values():
+                merged.extend(entries)
+            buckets = {max(buckets): merged}
 
         results: List[List[Tuple[np.ndarray, str, float]]] = [[] for _ in range(n_img)]
         texts: Dict[Tuple[int, int], Tuple[str, float]] = {}
@@ -212,25 +250,15 @@ class OCREngine:
                 all_crops = jnp.pad(all_crops, ((0, cap - n), (0, 0), (0, 0)))
                 lengths = np.pad(lengths, (0, cap - n))
             dev_lengths = jnp.asarray(np.maximum(lengths, 1))
+            valid = np.zeros((cap,), bool)
+            valid[: len(order)] = True
             with self.timers.stage("recognize"):
-                ids, lens, conf = self._recognize(self.crnn_params, all_crops, dev_lengths)
+                ids, lens, conf = self._recognize(
+                    self.crnn_params, all_crops, dev_lengths, jnp.asarray(valid)
+                )
             ids = np.asarray(ids)
             lens = np.asarray(lens)
             conf = np.asarray(conf)
-
-            # Low-confidence retry with contrast stretching (the reference
-            # stack's contrast_ths / adjust_contrast behavior): re-run the
-            # whole padded batch enhanced (one extra device call), keep the
-            # better result per crop.
-            if cfg.contrast_ths > 0 and float(conf[: len(order)].min(initial=1.0)) < cfg.contrast_ths:
-                with self.timers.stage("recognize_retry"):
-                    enhanced = _contrast_stretch(all_crops)
-                    ids2, lens2, conf2 = self._recognize(self.crnn_params, enhanced, dev_lengths)
-                ids2, lens2, conf2 = np.asarray(ids2), np.asarray(lens2), np.asarray(conf2)
-                better = (conf2 > conf) & (conf < cfg.contrast_ths)
-                ids = np.where(better[:, None], ids2, ids)
-                lens = np.where(better, lens2, lens)
-                conf = np.where(better, conf2, conf)
 
             for k, e_idx in enumerate(order):
                 i, j, quad, true_w = entries[e_idx]
