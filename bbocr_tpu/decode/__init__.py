@@ -1,9 +1,15 @@
 from bbocr_tpu.decode.ctc import ctc_greedy_decode
-from bbocr_tpu.decode.boxes import DetectionParams, extract_boxes, sort_reading_order
+from bbocr_tpu.decode.boxes import (
+    DetectionParams,
+    extract_boxes,
+    extract_boxes_masked,
+    sort_reading_order,
+)
 
 __all__ = [
     "ctc_greedy_decode",
     "DetectionParams",
     "extract_boxes",
+    "extract_boxes_masked",
     "sort_reading_order",
 ]

@@ -20,6 +20,7 @@ from typing import List
 import numpy as np
 
 from bbocr_tpu.native import connected_components, extract_quads_native
+from bbocr_tpu.native.loader import extract_quads_masked_native
 
 
 @dataclass(frozen=True)
@@ -125,6 +126,35 @@ def extract_boxes(
             return [q for q in quads]
 
     mask = (region > params.low_text) | (affinity > params.link_threshold)
+    return _extract_boxes_from_mask(mask, region, params)
+
+
+def extract_boxes_masked(
+    mask: np.ndarray,
+    region_q: np.ndarray,
+    params: DetectionParams = DetectionParams(),
+) -> List[np.ndarray]:
+    """Postprocessing for device-thresholded detection.
+
+    ``mask``: (H, W) uint8/bool computed ON DEVICE as
+    (region > low_text) | (affinity > link_threshold); ``region_q``: (H, W)
+    uint8 = round(region * 255). The host downloads 2x u8 planes instead of
+    2x f32 score maps (4x less relay traffic per canvas).
+    """
+    if params.use_native:
+        quads = extract_quads_masked_native(
+            mask, region_q, params.text_threshold, params.min_size_px
+        )
+        if quads is not None:
+            return [q for q in quads]
+    return _extract_boxes_from_mask(
+        np.asarray(mask) != 0, region_q.astype(np.float32) / 255.0, params
+    )
+
+
+def _extract_boxes_from_mask(
+    mask: np.ndarray, region: np.ndarray, params: DetectionParams
+) -> List[np.ndarray]:
     labels, stats = connected_components(mask.astype(np.uint8), score=region, connectivity=4)
     if stats.shape[0] == 0:
         return []

@@ -259,25 +259,23 @@ inline double norm2(double x, double y) { return std::sqrt(x * x + y * y); }
 }  // namespace
 
 extern "C" {
+int32_t bbocr_label_components(const uint8_t*, const float*, int32_t, int32_t,
+                               int32_t, int32_t*, double*, int32_t);
+}
 
-// region/affinity: float32[h*w] score maps straight off the device.
-// quads_out: double[max_quads * 8] as (x0,y0,x1,y1,x2,y2,x3,y3) per quad,
-// top-left first, clockwise. Returns the number of quads written.
-int32_t bbocr_extract_quads(const float* region, const float* affinity,
-                            int32_t h, int32_t w, float text_threshold,
-                            float link_threshold, float low_text,
-                            int32_t min_size, double* quads_out,
-                            int32_t max_quads) {
+namespace {
+
+// Shared postprocessing core over a prebuilt mask + float score map
+// (score values and text_threshold just need a consistent scale).
+int32_t extract_quads_core(const uint8_t* mask, const float* score, int32_t h,
+                           int32_t w, float text_threshold, int32_t min_size,
+                           double* quads_out, int32_t max_quads) {
   const int64_t n = static_cast<int64_t>(h) * w;
-  std::vector<uint8_t> mask(n);
-  for (int64_t i = 0; i < n; ++i) {
-    mask[i] = (region[i] > low_text) || (affinity[i] > link_threshold) ? 1 : 0;
-  }
   std::vector<int32_t> labels(n);
   const int32_t max_comps = 65536;
   std::vector<double> stats(static_cast<int64_t>(max_comps) * 11);
   const int32_t n_comp =
-      bbocr_label_components(mask.data(), region, h, w, /*connectivity=*/4,
+      bbocr_label_components(mask, score, h, w, /*connectivity=*/4,
                              labels.data(), stats.data(), max_comps);
   if (n_comp == 0) return 0;
 
@@ -363,6 +361,43 @@ int32_t bbocr_extract_quads(const float* region, const float* affinity,
     ++n_out;
   }
   return n_out;
+}
+
+}  // namespace
+
+extern "C" {
+
+// region/affinity: float32[h*w] score maps straight off the device.
+// quads_out: double[max_quads * 8] as (x0,y0,x1,y1,x2,y2,x3,y3) per quad,
+// top-left first, clockwise. Returns the number of quads written.
+int32_t bbocr_extract_quads(const float* region, const float* affinity,
+                            int32_t h, int32_t w, float text_threshold,
+                            float link_threshold, float low_text,
+                            int32_t min_size, double* quads_out,
+                            int32_t max_quads) {
+  const int64_t n = static_cast<int64_t>(h) * w;
+  std::vector<uint8_t> mask(n);
+  for (int64_t i = 0; i < n; ++i) {
+    mask[i] = (region[i] > low_text) || (affinity[i] > link_threshold) ? 1 : 0;
+  }
+  return extract_quads_core(mask.data(), region, h, w, text_threshold,
+                            min_size, quads_out, max_quads);
+}
+
+// Variant for device-thresholded detection: the mask is computed on the TPU
+// inside the detect program and the region score arrives uint8-quantized
+// (round(score * 255)), so the host downloads 2x u8 planes instead of 2x f32
+// maps. text_threshold_255 is the CRAFT text threshold pre-scaled by 255.
+int32_t bbocr_extract_quads_masked(const uint8_t* mask,
+                                   const uint8_t* score_u8, int32_t h,
+                                   int32_t w, float text_threshold_255,
+                                   int32_t min_size, double* quads_out,
+                                   int32_t max_quads) {
+  const int64_t n = static_cast<int64_t>(h) * w;
+  std::vector<float> score(n);
+  for (int64_t i = 0; i < n; ++i) score[i] = static_cast<float>(score_u8[i]);
+  return extract_quads_core(mask, score.data(), h, w, text_threshold_255,
+                            min_size, quads_out, max_quads);
 }
 
 }  // extern "C"

@@ -78,6 +78,17 @@ def _load():
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.c_int32,
             ]
+            lib.bbocr_extract_quads_masked.restype = ctypes.c_int32
+            lib.bbocr_extract_quads_masked.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.c_float,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int32,
+            ]
             _lib = lib
         except Exception:
             _lib = None
@@ -145,6 +156,36 @@ def extract_quads_native(
         affinity.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         h, w,
         float(text_threshold), float(link_threshold), float(low_text),
+        int(min_size),
+        quads.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        MAX_QUADS,
+    )
+    return quads[:n].copy()
+
+
+def extract_quads_masked_native(
+    mask: np.ndarray,
+    score_u8: np.ndarray,
+    text_threshold: float,
+    min_size: int,
+) -> np.ndarray | None:
+    """Masked/quantized postprocessing: mask + uint8 region (score*255).
+
+    Same output contract as :func:`extract_quads_native`; None when the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "bbocr_extract_quads_masked"):
+        return None
+    mask = np.ascontiguousarray(mask != 0, np.uint8)
+    score_u8 = np.ascontiguousarray(score_u8, np.uint8)
+    h, w = mask.shape
+    quads = np.empty((MAX_QUADS, 4, 2), np.float64)
+    n = lib.bbocr_extract_quads_masked(
+        mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        score_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w,
+        float(text_threshold) * 255.0,
         int(min_size),
         quads.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         MAX_QUADS,

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bbocr_tpu.decode import ctc_greedy_decode, extract_boxes, sort_reading_order
+from bbocr_tpu.decode import ctc_greedy_decode, extract_boxes_masked, sort_reading_order
 from bbocr_tpu.decode.boxes import DetectionParams
 from bbocr_tpu.models import CRAFT, CRNN, EN_CHARSET, Charset
 from bbocr_tpu.models.craft import normalize_image
@@ -80,7 +80,20 @@ class OCREngine:
         self.timers = StageTimer()
 
         def detect(params, rgb01):
-            return self.craft.apply(params, normalize_image(rgb01))
+            """Score maps -> (mask u8, region u8) computed on device.
+
+            The detection thresholds are applied inside the program so the
+            host downloads two u8 planes per canvas instead of two f32
+            score maps (4x less relay traffic); the region plane ships
+            quantized for the native labeler's max-score statistic.
+            """
+            maps = self.craft.apply(params, normalize_image(rgb01))
+            region = maps[..., 0]
+            affinity = maps[..., 1]
+            det = config.detection
+            mask = (region > det.low_text) | (affinity > det.link_threshold)
+            region_q = jnp.clip(jnp.round(region * 255.0), 0, 255).astype(jnp.uint8)
+            return mask.astype(jnp.uint8), region_q
 
         def _decode(params, crops, lengths):
             # crops (N, 32, W) in [0,255] -> normalized (N, 32, W, 1)
@@ -192,10 +205,12 @@ class OCREngine:
 
             with self.timers.stage("detect"):
                 rgb01 = jnp.repeat(dev_batch[..., None], 3, axis=-1) / 255.0
-                maps = np.asarray(self._detect(self.craft_params, rgb01))
+                masks, regions_q = self._detect(self.craft_params, rgb01)
+                masks = np.asarray(masks)
+                regions_q = np.asarray(regions_q)
             with self.timers.stage("boxes"):
                 for slot, i in enumerate(idxs):
-                    quads = extract_boxes(maps[slot, :, :, 0], maps[slot, :, :, 1], cfg.detection)
+                    quads = extract_boxes_masked(masks[slot], regions_q[slot], cfg.detection)
                     # map coords (half canvas) -> canvas coords
                     per_image_quads[i] = [q * 2.0 for q in quads]
 

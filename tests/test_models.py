@@ -124,3 +124,27 @@ class TestBoxes:
             assert len(qn) == len(qp), f"trial {trial}: {len(qn)} vs {len(qp)}"
             for a, b in zip(qn, qp):
                 np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_masked_path_matches_full(self):
+        """Device-thresholded (mask + u8 region) path == full f32 path when
+        scores are exactly u8-representable."""
+        from bbocr_tpu.decode import extract_boxes_masked
+
+        rng = np.random.default_rng(7)
+        for use_native in (True, False):
+            for trial in range(4):
+                h, w = 80, 112
+                # u8-representable scores so quantization is lossless
+                region = (
+                    rng.integers(0, 256, (h, w)).astype(np.float32) / 255.0
+                )
+                affinity = np.zeros((h, w), np.float32)
+                affinity[rng.uniform(size=(h, w)) < 0.05] = 0.6
+                params = DetectionParams(use_native=use_native)
+                full = extract_boxes(region, affinity, params)
+                mask = ((region > params.low_text) | (affinity > params.link_threshold)).astype(np.uint8)
+                region_q = np.round(region * 255.0).astype(np.uint8)
+                masked = extract_boxes_masked(mask, region_q, params)
+                assert len(full) == len(masked)
+                for a, b in zip(full, masked):
+                    np.testing.assert_allclose(a, b, atol=1e-5)
