@@ -131,6 +131,7 @@ class OCREngine:
 
         self._detect = jax.jit(detect)
         self._recognize = jax.jit(recognize)
+        self._widen = jax.jit(lambda u8: u8.astype(jnp.float32))
 
     # ------------------------------------------------------------------
     # Construction helpers
@@ -193,14 +194,16 @@ class OCREngine:
 
         for canvas, idxs in groups.items():
             with self.timers.stage("letterbox"):
-                batch = np.zeros((len(idxs), canvas.height, canvas.width), np.float32)
+                # uint8 on the wire (values are u8 after the PIL resize
+                # anyway); widened to f32 on device. 4x fewer upload bytes.
+                batch = np.zeros((len(idxs), canvas.height, canvas.width), np.uint8)
                 for slot, i in enumerate(idxs):
                     g = grays[i]
                     scale, oh, ow = bucketing.letterbox_params(g.shape[0], g.shape[1], canvas)
                     scales[i] = scale
-                    batch[slot, :oh, :ow] = _host_resize(g, oh, ow)
+                    batch[slot, :oh, :ow] = _host_resize(g, oh, ow).astype(np.uint8)
                     canvas_pos[i] = (canvas, slot)
-                dev_batch = jnp.asarray(batch)
+                dev_batch = self._widen(jnp.asarray(batch))
                 canvas_batches[canvas] = dev_batch
 
             with self.timers.stage("detect"):
