@@ -125,6 +125,54 @@ class TestBoxes:
             for a, b in zip(qn, qp):
                 np.testing.assert_allclose(a, b, atol=1e-6)
 
+    def test_device_cc_matches_host(self):
+        """On-device label propagation partitions == host labeler."""
+        from bbocr_tpu.decode.cc_device import (
+            component_stats_device,
+            label_components_device,
+        )
+        from bbocr_tpu.native import connected_components
+
+        rng = np.random.default_rng(11)
+        for trial in range(4):
+            mask = (rng.random((48, 64)) > 0.72).astype(np.uint8)
+            host_labels, host_stats = connected_components(mask, connectivity=4)
+            dev_labels = np.asarray(
+                jax.jit(label_components_device)(jnp.asarray(mask))
+            )
+            # Canonicalize both labelings to min-flat-index-per-component.
+            flat_idx = np.arange(mask.size).reshape(mask.shape)
+
+            def canon(labels):
+                out = np.zeros_like(labels)
+                for lid in np.unique(labels):
+                    if lid == 0:
+                        continue
+                    sel = labels == lid
+                    out[sel] = flat_idx[sel].min() + 1
+                return out
+
+            np.testing.assert_array_equal(canon(host_labels), canon(dev_labels))
+
+            # Device top-k stats: bboxes/counts match the host stats.
+            k = max(host_stats.shape[0], 1)
+            ids, x0, y0, x1, y1, cnt = jax.jit(
+                component_stats_device, static_argnums=1
+            )(jnp.asarray(dev_labels), k)
+            got = sorted(
+                (int(a), int(b), int(c), int(d), int(e))
+                for a, b, c, d, e in zip(
+                    np.asarray(x0), np.asarray(y0), np.asarray(x1),
+                    np.asarray(y1), np.asarray(cnt),
+                )
+                if e > 0
+            )
+            want = sorted(
+                (int(s[0]), int(s[1]), int(s[2]), int(s[3]), int(s[4]))
+                for s in host_stats
+            )
+            assert got == want
+
     def test_masked_path_matches_full(self):
         """Device-thresholded (mask + u8 region) path == full f32 path when
         scores are exactly u8-representable."""
