@@ -9,9 +9,11 @@ TPU-first choices:
 - NHWC layout, bfloat16 compute / float32 params (MXU-friendly convs).
 - Bilinear upsampling via ``jax.image.resize`` (lowers to XLA gather/dot the
   compiler tiles well); all shapes static.
-- Stage widths/strides mirror the published CRAFT topology so pretrained
-  weights (torchvision VGG16-BN layout) can be imported by
-  ``bbocr_tpu.models.weights``.
+- Stage widths/strides mirror the published CRAFT topology. Note that only
+  the CRNN recognizer supports torch weight import via
+  ``bbocr_tpu.models.weights``; CRAFT's decoder skip taps differ from the
+  published checkpoint layout, so its weights come from first-party training
+  (see ``bbocr_tpu/train``).
 """
 
 from __future__ import annotations

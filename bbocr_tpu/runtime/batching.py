@@ -43,17 +43,18 @@ class BatchingOCR:
 
     def readtext(self, image: np.ndarray, timeout: Optional[float] = None):
         """Submit one image; blocks until its OCR result is ready."""
-        fut: Future = Future()
-        self._queue.put((image, fut))
-        return fut.result(timeout=timeout)
+        return self._submit(image).result(timeout=timeout)
 
     def readtext_batch(self, images: Sequence[np.ndarray], timeout: Optional[float] = None):
-        futs = []
-        for img in images:
-            f: Future = Future()
-            self._queue.put((img, f))
-            futs.append(f)
+        futs = [self._submit(img) for img in images]
         return [f.result(timeout=timeout) for f in futs]
+
+    def _submit(self, image: np.ndarray) -> Future:
+        if self._closed.is_set():
+            raise RuntimeError("BatchingOCR is closed")
+        fut: Future = Future()
+        self._queue.put((image, fut))
+        return fut
 
     def read_joined(self, image: np.ndarray, timeout: Optional[float] = None) -> str:
         return " ".join(t for _, t, _ in self.readtext(image, timeout=timeout))
@@ -70,6 +71,15 @@ class BatchingOCR:
     def close(self) -> None:
         self._closed.set()
         self._queue.put(None)  # wake the worker
+        # Fail any requests still queued (or racing close) so callers
+        # blocked on fut.result() without a timeout are released.
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("engine closed"))
 
     def timings(self):
         return self.engine.timings()

@@ -219,6 +219,11 @@ class ScannerService:
 
         async def gen():
             yield sse_format({"type": "hello", "id": job_id}, retry_ms=_SSE_RETRY_MS)
+            if kind == "status" and jobs.get(job_id) is None:
+                # Unknown job: the status loop below would otherwise hold the
+                # connection open forever waiting for a done/error item.
+                yield sse_format({"type": "error", "error": "unknown job", "id": job_id})
+                return
             seq = 0
             last_beat = time.time()
             while True:
@@ -430,7 +435,9 @@ class ScannerService:
         @app.route("/api/accept", methods=("POST",))
         async def accept(req: Request):
             payload = req.json()
-            item_id = payload.get("id") or f"item_{int(time.time() * 1000)}"
+            # Slugify the client-supplied id: a raw join would let
+            # "../../x" or an absolute path escape the accepted dir.
+            item_id = _slugify(str(payload.get("id") or "")) or f"item_{int(time.time() * 1000)}"
             metadata = payload.get("metadata") or {}
             out_path = os.path.join(self.accepted_dir, f"{item_id}.json")
             with open(out_path, "w", encoding="utf-8") as f:
@@ -449,7 +456,7 @@ class ScannerService:
         @app.route("/api/reject", methods=("POST",))
         async def reject(req: Request):
             payload = req.json()
-            item_id = payload.get("id") or f"item_{int(time.time() * 1000)}"
+            item_id = _slugify(str(payload.get("id") or "")) or f"item_{int(time.time() * 1000)}"
             log_path = os.path.join(self.rejected_dir, f"{item_id}.txt")
             with open(log_path, "w", encoding="utf-8") as f:
                 f.write(payload.get("reason") or "rejected")

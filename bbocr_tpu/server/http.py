@@ -43,8 +43,19 @@ class UploadFile:
 
 
 class Request:
-    def __init__(self, method: str, target: str, headers: Dict[str, str], body: bytes):
+    def __init__(
+        self,
+        method: str,
+        target: str,
+        headers: Dict[str, str],
+        body: bytes,
+        oversized: bool = False,
+    ):
         self.method = method
+        # True when Content-Length exceeded MAX_BODY_BYTES and the body was
+        # not read; dispatch answers 413 instead of handing handlers an
+        # empty body (which reads as a confusing "no images uploaded" 400).
+        self.oversized = oversized
         parsed = urllib.parse.urlsplit(target)
         self.path = parsed.path
         self.query: Dict[str, str] = {
@@ -207,6 +218,12 @@ class App:
         return None
 
     async def dispatch(self, req: Request) -> Any:
+        if req.oversized:
+            return Response.json({"detail": "Payload Too Large"}, 413)
+        if req.method == "OPTIONS":
+            # CORS preflight: the wildcard Allow-* headers are attached to
+            # every response in _write_response; a bare 204 completes it.
+            return Response(b"", 204)
         handler = self._routes.get((req.method, req.path))
         if handler is None:
             static_path = self.lookup_static(req.path)
@@ -257,7 +274,7 @@ class App:
                 headers[k.strip().lower()] = v.strip()
         length = int(headers.get("content-length", "0") or 0)
         if length > MAX_BODY_BYTES:
-            return Request(method.upper(), target, headers, b"")
+            return Request(method.upper(), target, headers, b"", oversized=True)
         body = await reader.readexactly(length) if length else b""
         return Request(method.upper(), target, headers, body)
 

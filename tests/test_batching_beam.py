@@ -64,6 +64,25 @@ class TestBatchingOCR:
             b.readtext(np.zeros((2, 2)))
         b.close()
 
+    def test_close_rejects_and_drains(self):
+        class Slow:
+            def readtext_batch(self, images):
+                time.sleep(0.2)
+                return [[] for _ in images]
+
+        b = BatchingOCR(Slow(), max_batch=1, max_wait_ms=1)
+        # occupy the worker, then queue a request that close() must fail
+        t = threading.Thread(target=lambda: b.readtext(np.zeros((2, 2)), timeout=2))
+        t.start()
+        time.sleep(0.05)
+        fut = b._submit(np.zeros((2, 2)))
+        b.close()
+        with pytest.raises(RuntimeError, match="closed"):
+            fut.result(timeout=1)
+        with pytest.raises(RuntimeError, match="closed"):
+            b.readtext(np.zeros((2, 2)))
+        t.join()
+
 
 class TestBeamDecode:
     def _logits(self, frames, n_cls=4, hot=8.0):

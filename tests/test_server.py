@@ -217,6 +217,41 @@ class TestReviewWorkflow:
         with open(r["path"]) as f:
             assert f.read() == "blurry"
 
+    def test_accept_reject_ids_are_sanitized(self, server):
+        base, service = server
+        import os
+
+        r = httpx.post(
+            base + "/api/accept",
+            json={"id": "../../escape", "metadata": {"title": "X"}},
+        ).json()
+        # The slugified id must keep the written file inside accepted_dir.
+        assert os.path.dirname(os.path.abspath(r["path"])) == os.path.abspath(service.accepted_dir)
+        r2 = httpx.post(base + "/api/reject", json={"id": "/abs/path", "reason": "x"}).json()
+        assert os.path.dirname(os.path.abspath(r2["path"])) == os.path.abspath(service.rejected_dir)
+
+    def test_oversized_body_and_options_preflight(self, server):
+        base, _ = server
+        # Raw socket: httpx refuses to send a Content-Length it can't honor.
+        host, port = base.replace("http://", "").split(":")
+        with socket.create_connection((host, int(port)), timeout=5) as s:
+            s.sendall(
+                b"POST /api/accept HTTP/1.1\r\n"
+                b"Host: x\r\nContent-Type: application/json\r\n"
+                b"Content-Length: 68157440\r\n\r\n"
+            )
+            status_line = s.recv(4096).split(b"\r\n", 1)[0]
+        assert b"413" in status_line
+        opt = httpx.request("OPTIONS", base + "/api/accept")
+        assert opt.status_code == 204
+        assert opt.headers.get("access-control-allow-origin") == "*"
+
+    def test_job_stream_unknown_id_terminates(self, server):
+        base, _ = server
+        with httpx.stream("GET", base + "/api/job_stream?id=no_such_job", timeout=5) as r:
+            body = "".join(r.iter_text())
+        assert "unknown job" in body
+
 
 class TestPricingEndpoints:
     def test_lookup_with_fake_provider(self, server, monkeypatch):
