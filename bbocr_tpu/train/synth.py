@@ -40,6 +40,35 @@ _WORDS = (
     "york london chapter novel author history science art house random"
 ).split()
 
+# Name-shaped text: author lines are a weak spot of word-soup sampling
+# (real title pages say "by RANDALL PARRISH", "J. K. ROWLING").
+_SURNAMES = (
+    "Parrish Rowling Lansing Moorcock Orwell Finley Harte Turow Date Koock "
+    "Ward Rubin Johnson Steffensen Brown Smith Miller Davis Wilson Clark "
+    "Lewis Walker Young King Wright Hill Adams Baker Carter Mitchell"
+).split()
+_PUBLISHER_PATTERNS = (
+    "{s} Books", "{s} Press", "{s} Publishing", "{s} & Company",
+    "{s}, Mead and Company", "{s} Company", "Little, Brown and Company",
+    "Houghton Mifflin Company", "Random House", "Chronicle Books",
+    "HarperCollins Publishers", "A. L. Burt Company", "Macmillan",
+    "Addison-Wesley", "Grosset & Dunlap", "Coward-McCann, Inc.",
+)
+
+
+def _sample_name(rng: random.Random) -> str:
+    s = rng.choice(_SURNAMES)
+    style = rng.random()
+    if style < 0.35:
+        initials = " ".join(
+            f"{rng.choice(string.ascii_uppercase)}." for _ in range(rng.randint(1, 2))
+        )
+        return f"{initials} {s}"
+    first = rng.choice(_SURNAMES)
+    if style < 0.55:
+        return f"{first} {rng.choice(string.ascii_uppercase)}. {s}"
+    return f"{first} {s}"
+
 
 def _find_fonts() -> List[str]:
     fonts: List[str] = []
@@ -57,6 +86,13 @@ class SynthConfig:
     height: int = INPUT_HEIGHT
     invert_prob: float = 0.3
     noise_std: float = 6.0
+    # Photo-realism strength (0 = round-1 clean distribution, 1 = full
+    # lighting/glare/texture/JPEG stack from train.photo_aug). The round-1
+    # negative result showed the clean distribution overfits; see
+    # docs/ROADMAP.md and data/real/.
+    photo_aug: float = 1.0
+    # Typography variety: letterspacing / shear / stroke / low-contrast.
+    style_aug: float = 1.0
 
 
 class TextLineGenerator:
@@ -80,14 +116,26 @@ class TextLineGenerator:
 
     def sample_text(self) -> str:
         r = self.rng.random()
-        if r < 0.25:
+        if r < 0.2:
             # numbers / ISBN-ish strings (digit-heavy CTC per BASELINE config 3)
             n = self.rng.randint(4, 17)
             chars = string.digits + "-"
             return "".join(self.rng.choice(chars) for _ in range(n))
-        if r < 0.35:
+        if r < 0.3:
             year = self.rng.randint(1850, 2029)
             return self.rng.choice([f"© {year}", f"Copyright {year}", str(year)])
+        if r < 0.42:
+            # author/name lines (real title pages: "by RANDALL PARRISH")
+            name = _sample_name(self.rng)
+            s = self.rng.random()
+            if s < 0.3:
+                return f"by {name}"
+            if s < 0.55:
+                return name.upper()
+            return name
+        if r < 0.52:
+            pub = self.rng.choice(_PUBLISHER_PATTERNS).format(s=self.rng.choice(_SURNAMES))
+            return pub.upper() if self.rng.random() < 0.4 else pub
         n_words = self.rng.randint(1, 4)
         words = [self.rng.choice(_WORDS) for _ in range(n_words)]
         style = self.rng.random()
@@ -116,12 +164,47 @@ class TextLineGenerator:
         fg = self.rng.randint(0, 90)
         if self.rng.random() < cfg.invert_prob:
             bg, fg = fg, bg
+        # Low-contrast pairs: embossed gold-on-cloth covers and faded ink
+        # have |fg-bg| far below the clean 80+ the round-1 generator used.
+        if self.rng.random() < 0.25 * cfg.style_aug:
+            mid = self.rng.randint(70, 185)
+            delta = self.rng.randint(25, 60)
+            bg, fg = mid + delta // 2, mid - delta // 2
+            if self.rng.random() < 0.5:
+                bg, fg = fg, bg
         img = Image.new("L", (width * 2, cfg.height * 2), bg)
         draw = ImageDraw.Draw(img)
         x0 = self.rng.randint(0, 6)
         y0 = self.rng.randint(0, max(1, cfg.height * 2 - size - 8))
-        draw.text((x0, y0), text, fill=fg, font=font)
-        bbox = img.getbbox() if bg == 0 else ImageDraw.Draw(img).textbbox((x0, y0), text, font=font)
+        stroke = 0
+        if self.rng.random() < 0.15 * cfg.style_aug:
+            stroke = self.rng.randint(1, 2)  # display/outline faces
+        tracking = 0
+        if self.rng.random() < 0.25 * cfg.style_aug:
+            tracking = self.rng.randint(2, max(3, size // 3))  # letterspaced caps
+        if tracking:
+            x = x0
+            for ch in text:
+                draw.text((x, y0), ch, fill=fg, font=font, stroke_width=stroke, stroke_fill=fg)
+                cw = draw.textbbox((0, 0), ch, font=font)[2]
+                x += cw + tracking
+            right_guess = x
+            bbox = (x0, y0, min(right_guess + 2, width * 2), min(y0 + size + 8, cfg.height * 2))
+            tight = img.crop(bbox).getbbox()
+            if tight:
+                bbox = (bbox[0] + tight[0], bbox[1] + tight[1], bbox[0] + tight[2], bbox[1] + tight[3])
+        else:
+            draw.text((x0, y0), text, fill=fg, font=font, stroke_width=stroke, stroke_fill=fg)
+            bbox = draw.textbbox((x0, y0), text, font=font, stroke_width=stroke)
+        if self.rng.random() < 0.2 * cfg.style_aug:
+            # faux italic: horizontal shear around the text baseline
+            shear = self.rng.uniform(-0.25, 0.25)
+            img = img.transform(
+                img.size, Image.AFFINE, (1, shear, -shear * y0, 0, 1, 0),
+                Image.BILINEAR, fillcolor=bg,
+            )
+            pad_sh = int(abs(shear) * size) + 2
+            bbox = (max(0, bbox[0] - pad_sh), bbox[1], min(img.width, bbox[2] + pad_sh), bbox[3])
         left, top, right, bottom = bbox
         pad = self.rng.randint(1, 4)
         crop = img.crop((max(0, left - pad), max(0, top - pad), right + pad, bottom + pad))
@@ -148,7 +231,11 @@ class TextLineGenerator:
                 pil.rotate(angle, resample=_Image.BILINEAR, fillcolor=int(bg)),
                 np.float32,
             )
-        if self.rng.random() < 0.3:
+        if cfg.photo_aug > 0:
+            from bbocr_tpu.train.photo_aug import photometric_crop_aug
+
+            out = photometric_crop_aug(self.rng, out, strength=cfg.photo_aug)
+        elif self.rng.random() < 0.3:
             k = np.array([0.25, 0.5, 0.25])
             out = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, out)
         noise = self.np_rng.normal(0.0, cfg.noise_std, out.shape)
@@ -180,17 +267,43 @@ class PageGenerator:
         self.lines = TextLineGenerator(config, seed + 13)
 
     def render(self, height: int = 256, width: int = 192):
-        """Returns (page (H, W) float32, heatmaps (H/2, W/2, 2) float32)."""
+        """Returns (page (H, W) float32, heatmaps (H/2, W/2, 2) float32).
+
+        Layouts mirror the real corpus (data/real/): running-text pages,
+        centered title pages (large display lines), and dense copyright
+        blocks. With ``photo_aug`` the page then goes through perspective,
+        scene clutter, and the lighting/glare/texture/JPEG stack — the
+        factors whose absence caused the round-1 fine-tune regression.
+        """
+        cfg = self.config
         bg = self.rng.randint(160, 250)
+        mode = self.rng.random()
         page = np.full((height, width), bg, np.float32)
         region = np.zeros((height // 2, width // 2), np.float32)
         affinity = np.zeros((height // 2, width // 2), np.float32)
-        n_lines = self.rng.randint(1, 5)
+
+        if mode < 0.35:  # title page: few large centered lines, big gaps
+            n_lines = self.rng.randint(2, 4)
+            sizes = [self.rng.randint(22, 34)] + [
+                self.rng.randint(12, 22) for _ in range(n_lines - 1)
+            ]
+            gap_range = (10, 36)
+            centered = True
+        elif mode < 0.6:  # copyright block: dense small left-aligned lines
+            n_lines = self.rng.randint(4, 7)
+            sizes = [self.rng.randint(9, 14)] * n_lines
+            gap_range = (2, 8)
+            centered = False
+        else:  # generic running lines (round-1 distribution)
+            n_lines = self.rng.randint(1, 5)
+            sizes = [self.rng.randint(10, 34) for _ in range(n_lines)]
+            gap_range = (4, 20)
+            centered = False
+
         y = self.rng.randint(4, 24)
-        for _ in range(n_lines):
+        for size in sizes:
             text = self.lines.sample_text()
-            # wide font-size range: detection must fire across text scales
-            font = self.lines._font(self.rng.randint(10, 34))
+            font = self.lines._font(size)
             tmp = Image.new("L", (width, 48), bg)
             d = ImageDraw.Draw(tmp)
             bbox = d.textbbox((2, 2), text, font=font)
@@ -199,7 +312,10 @@ class PageGenerator:
             th = min(bbox[3] + 2, 48)
             if y + th >= height:
                 break
-            x = self.rng.randint(0, width - tw) if width > tw else 0
+            if centered:
+                x = min(max(0, (width - tw) // 2 + self.rng.randint(-4, 4)), width - tw)
+            else:
+                x = self.rng.randint(0, width - tw) if width > tw else 0
             patch = np.asarray(tmp, np.float32)[:th, :tw]
             page[y : y + th, x : x + tw] = patch
             # char-level gaussians: approximate per-character centers evenly
@@ -214,13 +330,24 @@ class PageGenerator:
                 if ci + 1 < n_chars and text[ci + 1] != " ":
                     ax = (x + (ci + 1.0) * cw) / 2.0
                     _add_gaussian(affinity, ax, cy, max(cw, th) / 5.0)
-            y += th + self.rng.randint(4, 20)
+            y += th + self.rng.randint(*gap_range)
+
+        maps = np.clip(np.stack([region, affinity], axis=-1), 0.0, 1.0).astype(np.float32)
+
+        if cfg.photo_aug > 0:
+            from bbocr_tpu.train import photo_aug as pa
+
+            if self.rng.random() < 0.5 * cfg.photo_aug:
+                page, maps = pa.warp_page_and_maps(self.rng, page, maps, bg_value=bg)
+            if self.rng.random() < 0.35 * cfg.photo_aug:
+                page, maps = pa.page_in_scene(self.rng, page, maps)
+            page = pa.photometric_crop_aug(self.rng, page, strength=cfg.photo_aug)
+
         noise = np.random.default_rng(self.rng.randint(0, 1 << 31)).normal(
             0, self.config.noise_std, page.shape
         )
         page = np.clip(page + noise, 0, 255).astype(np.float32)
-        maps = np.stack([region, affinity], axis=-1)
-        return page, np.clip(maps, 0.0, 1.0).astype(np.float32)
+        return page, maps
 
     def batch(self, batch_size: int, height: int = 256, width: int = 192):
         pages = np.zeros((batch_size, height, width), np.float32)
