@@ -510,6 +510,8 @@ class BookMetadataExtractor:
 
     def _processing_info(self, ocr_texts: List[str], images: Sequence) -> Dict[str, Any]:
         info = {
+            "model_used": self.model,
+            "llm_backend": self.llm_backend,
             "ocr_engine": self.ocr_engine,
             "preprocessing_used": self.use_preprocessing,
             "ocr_images_processed": len(ocr_texts),

@@ -270,46 +270,104 @@ class PageGenerator:
         """Returns (page (H, W) float32, heatmaps (H/2, W/2, 2) float32).
 
         Layouts mirror the real corpus (data/real/): running-text pages,
-        centered title pages (large display lines), and dense copyright
-        blocks. With ``photo_aug`` the page then goes through perspective,
-        scene clutter, and the lighting/glare/texture/JPEG stack — the
-        factors whose absence caused the round-1 fine-tune regression.
+        centered title pages (large display lines), dense copyright blocks,
+        and book covers (dark/mid background, large light display text,
+        decorative rules as hard negatives). With ``photo_aug`` the page
+        then goes through perspective, scene clutter, and the lighting/
+        glare/texture/JPEG stack — the factors whose absence caused the
+        round-1 fine-tune regression.
         """
         cfg = self.config
-        bg = self.rng.randint(160, 250)
+        # Scale font sizes with the canvas so training pages cover the text
+        # heights seen at serving time (covers letterboxed to 704x512 carry
+        # 30-90px display text; the round-1 fixed 9-34px range did not).
+        s = height / 256.0
         mode = self.rng.random()
+        cover = mode >= 0.72
+        if cover:
+            # covers: any tone, incl. dark cloth/jacket; text picked for
+            # contrast below
+            bg = self.rng.choice(
+                [self.rng.randint(15, 90), self.rng.randint(90, 170), self.rng.randint(170, 250)]
+            )
+        else:
+            bg = self.rng.randint(160, 250)
         page = np.full((height, width), bg, np.float32)
         region = np.zeros((height // 2, width // 2), np.float32)
         affinity = np.zeros((height // 2, width // 2), np.float32)
 
-        if mode < 0.35:  # title page: few large centered lines, big gaps
+        if mode < 0.3:  # title page: few large centered lines, big gaps
             n_lines = self.rng.randint(2, 4)
-            sizes = [self.rng.randint(22, 34)] + [
-                self.rng.randint(12, 22) for _ in range(n_lines - 1)
+            sizes = [self.rng.randint(int(22 * s), int(40 * s))] + [
+                self.rng.randint(int(12 * s), int(22 * s)) for _ in range(n_lines - 1)
             ]
-            gap_range = (10, 36)
+            gap_range = (int(10 * s), int(36 * s))
             centered = True
-        elif mode < 0.6:  # copyright block: dense small left-aligned lines
+        elif mode < 0.52:  # copyright block: dense small left-aligned lines
             n_lines = self.rng.randint(4, 7)
-            sizes = [self.rng.randint(9, 14)] * n_lines
-            gap_range = (2, 8)
+            sizes = [self.rng.randint(max(9, int(9 * s)), int(14 * s))] * n_lines
+            gap_range = (2, int(8 * s))
             centered = False
-        else:  # generic running lines (round-1 distribution)
+        elif not cover:  # generic running lines (round-1 distribution)
             n_lines = self.rng.randint(1, 5)
-            sizes = [self.rng.randint(10, 34) for _ in range(n_lines)]
-            gap_range = (4, 20)
+            sizes = [self.rng.randint(int(10 * s), int(34 * s)) for _ in range(n_lines)]
+            gap_range = (int(4 * s), int(20 * s))
             centered = False
+        else:  # cover: huge display title + author/publisher lines
+            n_lines = self.rng.randint(2, 4)
+            sizes = [self.rng.randint(int(30 * s), int(64 * s))] + [
+                self.rng.randint(int(14 * s), int(30 * s)) for _ in range(n_lines - 1)
+            ]
+            gap_range = (int(14 * s), int(48 * s))
+            centered = True
 
-        y = self.rng.randint(4, 24)
+        # Decorative non-text elements (horizontal rules, frames, solid
+        # blobs): present on real covers/title pages, labeled as background
+        # so the detector learns to suppress them.
+        if self.rng.random() < (0.5 if cover else 0.25):
+            ink = self.rng.randint(0, 255)
+            for _ in range(self.rng.randint(1, 3)):
+                kind = self.rng.random()
+                if kind < 0.5:  # horizontal rule
+                    ry = self.rng.randint(0, height - 4)
+                    rx0 = self.rng.randint(0, width // 3)
+                    rx1 = self.rng.randint(2 * width // 3, width)
+                    page[ry : ry + self.rng.randint(1, 4), rx0:rx1] = ink
+                elif kind < 0.8:  # frame/border
+                    t = self.rng.randint(1, 3)
+                    m = self.rng.randint(2, max(3, int(10 * s)))
+                    page[m : m + t, m : width - m] = ink
+                    page[height - m - t : height - m, m : width - m] = ink
+                    page[m : height - m, m : m + t] = ink
+                    page[m : height - m, width - m - t : width - m] = ink
+                else:  # solid blob (illustration stand-in)
+                    bw = self.rng.randint(int(20 * s), max(int(21 * s), width // 2))
+                    bh = self.rng.randint(int(20 * s), max(int(21 * s), height // 3))
+                    bx = self.rng.randint(0, max(1, width - bw))
+                    by = self.rng.randint(0, max(1, height - bh))
+                    page[by : by + bh, bx : bx + bw] = ink
+
+        y = self.rng.randint(4, int(24 * s) + 4)
         for size in sizes:
             text = self.lines.sample_text()
             font = self.lines._font(size)
-            tmp = Image.new("L", (width, 48), bg)
+            line_h = int(size * 1.8) + 8
+            tmp = Image.new("L", (width, line_h), bg)
             d = ImageDraw.Draw(tmp)
             bbox = d.textbbox((2, 2), text, font=font)
-            d.text((2, 2), text, fill=self.rng.randint(0, 80), font=font)
+            if cover or self.rng.random() < 0.1:
+                # contrast-aware fill: light text on dark grounds
+                if bg < 110:
+                    fill = self.rng.randint(170, 255)
+                elif bg < 180:
+                    fill = self.rng.choice([self.rng.randint(0, 60), self.rng.randint(230, 255)])
+                else:
+                    fill = self.rng.randint(0, 80)
+            else:
+                fill = self.rng.randint(0, 80)
+            d.text((2, 2), text, fill=fill, font=font)
             tw = min(bbox[2] + 2, width)
-            th = min(bbox[3] + 2, 48)
+            th = min(bbox[3] + 2, line_h)
             if y + th >= height:
                 break
             if centered:

@@ -1,119 +1,127 @@
-"""End-of-round benchmark: book photos/sec/chip through the OCR pipeline.
+"""End-of-round benchmark: book photos/sec/chip through the FULL OCR serving
+path, measured on the reference's real book photos.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures the three device stages the reference spends its seconds on
-(SURVEY.md §6: EasyOCR ~2.6-4.4 s/photo on CPU => ~0.33 photos/sec):
+Unlike the round-1 bench (which timed only the three device stages), this
+drives ``OCREngine.readtext_batch`` end to end on real images: JPEG decode ->
+grayscale -> canvas letterbox (host PIL resize) -> CRAFT detect -> host box
+extraction (native C++ CC labeling + quads) -> device rectification -> CRNN
+recognize -> CTC decode -> text assembly. The recognition crop load is
+whatever the detector actually finds on each photo, not an assumed count.
 
-  1. the full preprocessing chain (the reference's 7-pass OpenCV/PIL recipe),
-  2. CRAFT detection on the letterboxed canvas,
-  3. rectification + CRNN recognition + CTC decode for a realistic crop load
-     (24 word crops per photo at the 128px bucket).
+Decode runs on a host thread pool overlapped with device work (the serving
+architecture: ``runtime/batching.py`` drains a queue while the chip runs),
+so steady-state throughput = the slower of the two pipelines.
 
-Per-photo time = t_pre/B + t_det/B + t_rec/B; baseline 0.333 photos/sec.
+Reference baseline: EasyOCR ~2.6-4.4 s/photo on CPU (SURVEY.md §6)
+=> ~0.333 photos/sec/machine.
+
+Side metrics (p50 single-photo latency, per-stage timers, crops/photo) go to
+stderr so the driver's one-line contract stays intact.
 """
 
 from __future__ import annotations
 
+import glob
+import io
 import json
+import os
+import sys
 import time
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
-
-def _time(fn, reps=5):
-    _block(fn())  # warmup/compile
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
-    _block(out)
-    return (time.perf_counter() - t0) / reps
+ROOT = os.path.dirname(os.path.abspath(__file__))
 
 
-def _block(x):
-    """Synchronize on a result tree.
+def _photo_paths(max_photos: int):
+    """Real corpus first (covers + photo sets), synthetic books as filler."""
+    paths = sorted(glob.glob(os.path.join(ROOT, "data", "real", "covers", "*.png")))
+    paths += sorted(glob.glob(os.path.join(ROOT, "data", "real", "photos", "*", "*.jpg")))
+    paths += sorted(glob.glob(os.path.join(ROOT, "books", "*", "*.png")))
+    if not paths:
+        raise SystemExit("no benchmark images found under data/real or books/")
+    out = []
+    while len(out) < max_photos:
+        out.extend(paths)
+    return out[:max_photos]
 
-    block_until_ready() can return before execution completes on relayed
-    backends, so force a tiny host readback of one element per leaf — the
-    transfer cannot complete until the producing computation has.
-    """
-    import jax
 
-    for leaf in jax.tree_util.tree_leaves(x):
-        if hasattr(leaf, "ravel"):
-            jax.device_get(leaf.ravel()[0])
+def _decode(raw: bytes) -> np.ndarray:
+    from PIL import Image
+
+    return np.asarray(Image.open(io.BytesIO(raw)).convert("L"), np.float32)
 
 
 def main():
     from bbocr_tpu.utils.env import sync_platform_from_env
 
     sync_platform_from_env()  # honor JAX_PLATFORMS=cpu if set
-    import jax
-    import jax.numpy as jnp
 
-    from bbocr_tpu.decode import ctc_greedy_decode
-    from bbocr_tpu.models import CRAFT, CRNN, EN_CHARSET
-    from bbocr_tpu.models.craft import normalize_image
-    from bbocr_tpu.preprocess.chain import _chain_gray
-    from bbocr_tpu.runtime.rectify import warp_crops
+    from bbocr_tpu.runtime.engine import OCREngine
 
-    B = 8               # photos per batch
-    PH, PW = 1056, 800  # photo size entering the preprocess chain
-    CH, CW = 704, 512   # detector canvas
-    CROPS_PER_PHOTO = 24
-    CROP_W = 128
-
-    rng = np.random.default_rng(0)
-    photos = jnp.asarray(rng.integers(0, 255, (B, PH, PW)).astype(np.float32))
-    canvas = jnp.asarray(rng.integers(0, 255, (B, CH, CW)).astype(np.float32))
-
-    import os
-
-    from bbocr_tpu.utils.checkpoint import load_params
-
-    craft = CRAFT()
-    crnn = CRNN(num_classes=EN_CHARSET.num_classes)
-    ckpt_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "checkpoints")
-    try:
-        craft_params = load_params(os.path.join(ckpt_dir, "craft.npz"))
-        crnn_params = load_params(os.path.join(ckpt_dir, "crnn.npz"))
-    except Exception:
-        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-        craft_params = craft.init(k1, jnp.zeros((1, 64, 64, 3), jnp.float32))
-        crnn_params = crnn.init(k2, jnp.zeros((1, 32, 64, 1), jnp.float32))
-    # Device-resident weights (numpy trees re-upload per call otherwise).
-    craft_params = jax.tree_util.tree_map(jnp.asarray, craft_params)
-    crnn_params = jax.tree_util.tree_map(jnp.asarray, crnn_params)
-
-    # stage 1: preprocessing chain (x1.5 resize -> (1584, 1200))
-    pre = jax.jit(lambda x: _chain_gray(x, int(PH * 1.5), int(PW * 1.5)))
-    t_pre = _time(lambda: pre(photos))
-
-    # stage 2: detection
-    det = jax.jit(
-        lambda p, g: craft.apply(p, normalize_image(jnp.repeat(g[..., None], 3, -1) / 255.0))
+    N_PHOTOS = int(os.environ.get("BENCH_PHOTOS", "96"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+    ckpt = os.path.join(ROOT, "checkpoints")
+    engine = OCREngine.from_checkpoint(
+        os.path.join(ckpt, "craft.npz"), os.path.join(ckpt, "crnn.npz")
     )
-    t_det = _time(lambda: det(craft_params, canvas))
 
-    # stage 3: rectify + recognize + decode
-    n_crops = B * CROPS_PER_PHOTO
-    homos = np.tile(np.eye(3, dtype=np.float32), (n_crops, 1, 1))
-    homos[:, 0, 2] = rng.integers(0, CW - CROP_W, n_crops)
-    homos[:, 1, 2] = rng.integers(0, CH - 32, n_crops)
-    img_idx = jnp.asarray(rng.integers(0, B, n_crops), jnp.int32)
-    true_w = jnp.full((n_crops,), CROP_W, jnp.int32)
-    lengths = jnp.full((n_crops,), CROP_W // 4 - 1, jnp.int32)
-    homos_d = jnp.asarray(homos)
+    paths = _photo_paths(N_PHOTOS)
+    raws = [open(p, "rb").read() for p in paths]
 
-    def rec():
-        crops = warp_crops(canvas, homos_d, img_idx, true_w, CROP_W)
-        logits = crnn.apply(crnn_params, (crops / 127.5 - 1.0)[..., None])
-        return ctc_greedy_decode(logits, lengths)
+    pool = ThreadPoolExecutor(max_workers=8)
 
-    t_rec = _time(jax.jit(rec))
+    def decode_batch(i):
+        return list(pool.map(_decode, raws[i : i + BATCH]))
 
-    per_photo = (t_pre + t_det + t_rec) / B
-    photos_per_sec = 1.0 / per_photo
+    # Warm-up: compile every program shape on a real batch (and once more for
+    # single-photo mode) before the timed run.
+    warm = decode_batch(0)
+    engine.readtext_batch(warm)
+    engine.readtext(warm[0])
+
+    # --- throughput: pipelined decode -> readtext_batch -------------------
+    engine.timers.reset() if hasattr(engine.timers, "reset") else None
+    n_crops = 0
+    t0 = time.perf_counter()
+    next_imgs = pool.submit(decode_batch, 0)
+    done = 0
+    results_sample = None
+    while done < len(raws):
+        imgs = next_imgs.result()
+        if done + BATCH < len(raws):
+            next_imgs = pool.submit(decode_batch, done + BATCH)
+        res = engine.readtext_batch(imgs)
+        n_crops += sum(len(r) for r in res)
+        if results_sample is None:
+            results_sample = res[0]
+        done += len(imgs)
+    elapsed = time.perf_counter() - t0
+    photos_per_sec = done / elapsed
+
+    # --- p50 single-photo latency (decode included) -----------------------
+    lat = []
+    for raw in raws[: min(24, len(raws))]:
+        t = time.perf_counter()
+        engine.readtext(_decode(raw))
+        lat.append(time.perf_counter() - t)
+    p50 = float(np.median(lat)) * 1000.0
+    p90 = float(np.percentile(lat, 90)) * 1000.0
+
+    side = {
+        "photos": done,
+        "elapsed_s": round(elapsed, 2),
+        "crops_total": n_crops,
+        "crops_per_photo": round(n_crops / max(done, 1), 1),
+        "p50_ms": round(p50, 1),
+        "p90_ms": round(p90, 1),
+        "stage_timers": engine.timings(),
+    }
+    print(json.dumps(side), file=sys.stderr)
+
     baseline = 1.0 / 3.0  # reference: ~3s/photo EasyOCR CPU (BASELINE.md)
     print(
         json.dumps(
