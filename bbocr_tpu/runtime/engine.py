@@ -66,16 +66,39 @@ class OCREngine:
         crnn_params: Any,
         config: EngineConfig = EngineConfig(),
         charset: Charset = EN_CHARSET,
+        mesh: Any = None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh`` with (dp, tp) axes. When
+        given, serving is GSPMD-sharded: photo/crop batches over ``dp``
+        (host-padded to dp multiples), wide matmuls (LSTM gates, CTC head)
+        over ``tp`` via :func:`bbocr_tpu.parallel.sharding.param_shardings`.
+        This is the SPMD replacement for the reference's thread-pool batch
+        fan-out (SURVEY.md §2.8): batch data-parallel over ICI."""
         self.config = config
         self.charset = charset
         self.craft = CRAFT(dtype=config.compute_dtype)
         self.crnn = CRNN(num_classes=charset.num_classes, dtype=config.compute_dtype)
+        self.mesh = mesh
+        self._dp = int(mesh.shape["dp"]) if mesh is not None else 1
         # Pin parameters to the device once: checkpoint loaders hand back
         # numpy trees, and leaving them as numpy re-uploads every weight on
         # every jit call (dominates serving latency on tunneled links).
-        self.craft_params = jax.tree_util.tree_map(jnp.asarray, craft_params)
-        self.crnn_params = jax.tree_util.tree_map(jnp.asarray, crnn_params)
+        if mesh is not None:
+            from bbocr_tpu.parallel.sharding import (
+                batch_sharding,
+                param_shardings,
+            )
+
+            craft_sh = param_shardings(craft_params, mesh)
+            crnn_sh = param_shardings(crnn_params, mesh)
+            self.craft_params = jax.device_put(craft_params, craft_sh)
+            self.crnn_params = jax.device_put(crnn_params, crnn_sh)
+            self._bsh = batch_sharding(mesh)
+            self._param_sh = (craft_sh, crnn_sh)
+        else:
+            self.craft_params = jax.tree_util.tree_map(jnp.asarray, craft_params)
+            self.crnn_params = jax.tree_util.tree_map(jnp.asarray, crnn_params)
+            self._bsh = None
         self._lock = threading.Lock()
         self.timers = StageTimer()
 
@@ -129,8 +152,20 @@ class OCREngine:
                 worst < config.contrast_ths, retry, lambda _: (ids, lens, conf), None
             )
 
-        self._detect = jax.jit(detect)
-        self._recognize = jax.jit(recognize)
+        if mesh is None:
+            self._detect = jax.jit(detect)
+            self._recognize = jax.jit(recognize)
+        else:
+            bsh = self._bsh
+            craft_sh, crnn_sh = self._param_sh
+            self._detect = jax.jit(
+                detect, in_shardings=(craft_sh, bsh), out_shardings=(bsh, bsh)
+            )
+            self._recognize = jax.jit(
+                recognize,
+                in_shardings=(crnn_sh, bsh, bsh, bsh),
+                out_shardings=(bsh, bsh, bsh),
+            )
         self._widen = jax.jit(lambda u8: u8.astype(jnp.float32))
 
     # ------------------------------------------------------------------
@@ -138,19 +173,18 @@ class OCREngine:
     # ------------------------------------------------------------------
 
     @classmethod
-    def create(cls, seed: int = 0, config: EngineConfig = EngineConfig(), charset: Charset = EN_CHARSET):
+    def create(cls, seed: int = 0, config: EngineConfig = EngineConfig(), charset: Charset = EN_CHARSET, mesh: Any = None):
         """Engine with freshly initialized (untrained) parameters."""
         craft = CRAFT(dtype=config.compute_dtype)
         crnn = CRNN(num_classes=charset.num_classes, dtype=config.compute_dtype)
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
-        c = config.canvases[0]
         craft_params = craft.init(k1, jnp.zeros((1, 64, 64, 3), jnp.float32))
         crnn_params = crnn.init(k2, jnp.zeros((1, INPUT_HEIGHT, 64, 1), jnp.float32))
-        return cls(craft_params, crnn_params, config, charset)
+        return cls(craft_params, crnn_params, config, charset, mesh=mesh)
 
     @classmethod
-    def from_checkpoint(cls, craft_path: str, crnn_path: str, config: EngineConfig = EngineConfig(), charset: Charset = EN_CHARSET):
-        return cls(load_params(craft_path), load_params(crnn_path), config, charset)
+    def from_checkpoint(cls, craft_path: str, crnn_path: str, config: EngineConfig = EngineConfig(), charset: Charset = EN_CHARSET, mesh: Any = None):
+        return cls(load_params(craft_path), load_params(crnn_path), config, charset, mesh=mesh)
 
     # ------------------------------------------------------------------
     # Public API
@@ -196,14 +230,18 @@ class OCREngine:
             with self.timers.stage("letterbox"):
                 # uint8 on the wire (values are u8 after the PIL resize
                 # anyway); widened to f32 on device. 4x fewer upload bytes.
-                batch = np.zeros((len(idxs), canvas.height, canvas.width), np.uint8)
+                # Under a mesh the photo batch is padded to a dp multiple so
+                # GSPMD shards it evenly (padding slots are dead work).
+                rows = -(-len(idxs) // self._dp) * self._dp
+                batch = np.zeros((rows, canvas.height, canvas.width), np.uint8)
                 for slot, i in enumerate(idxs):
                     g = grays[i]
                     scale, oh, ow = bucketing.letterbox_params(g.shape[0], g.shape[1], canvas)
                     scales[i] = scale
                     batch[slot, :oh, :ow] = _host_resize(g, oh, ow).astype(np.uint8)
                     canvas_pos[i] = (canvas, slot)
-                dev_batch = self._widen(jnp.asarray(batch))
+                raw = jnp.asarray(batch) if self._bsh is None else jax.device_put(batch, self._bsh)
+                dev_batch = self._widen(raw)
                 canvas_batches[canvas] = dev_batch
 
             with self.timers.stage("detect"):
@@ -234,6 +272,7 @@ class OCREngine:
 
         for bucket_w, entries in buckets.items():
             cap = bucketing.pad_count(len(entries), cfg.batch_capacities)
+            cap = -(-cap // self._dp) * self._dp  # dp-divisible under a mesh
             # group by canvas for warping (same source array shape)
             by_canvas: Dict[CanvasSpec, List[int]] = {}
             for e_idx, (i, j, quad, true_w) in enumerate(entries):

@@ -282,6 +282,11 @@ class PageGenerator:
         # heights seen at serving time (covers letterboxed to 704x512 carry
         # 30-90px display text; the round-1 fixed 9-34px range did not).
         s = height / 256.0
+
+        def ri(lo, hi):  # randint tolerant of ranges collapsed by small s
+            lo = max(1, int(lo))
+            return self.rng.randint(lo, max(lo, int(hi)))
+
         mode = self.rng.random()
         cover = mode >= 0.72
         if cover:
@@ -298,27 +303,27 @@ class PageGenerator:
 
         if mode < 0.3:  # title page: few large centered lines, big gaps
             n_lines = self.rng.randint(2, 4)
-            sizes = [self.rng.randint(int(22 * s), int(40 * s))] + [
-                self.rng.randint(int(12 * s), int(22 * s)) for _ in range(n_lines - 1)
+            sizes = [ri(22 * s, 40 * s)] + [
+                ri(12 * s, 22 * s) for _ in range(n_lines - 1)
             ]
-            gap_range = (int(10 * s), int(36 * s))
+            gap_range = (max(1, int(10 * s)), max(2, int(36 * s)))
             centered = True
         elif mode < 0.52:  # copyright block: dense small left-aligned lines
             n_lines = self.rng.randint(4, 7)
-            sizes = [self.rng.randint(max(9, int(9 * s)), int(14 * s))] * n_lines
-            gap_range = (2, int(8 * s))
+            sizes = [ri(9, 14 * s)] * n_lines
+            gap_range = (2, max(3, int(8 * s)))
             centered = False
         elif not cover:  # generic running lines (round-1 distribution)
             n_lines = self.rng.randint(1, 5)
-            sizes = [self.rng.randint(int(10 * s), int(34 * s)) for _ in range(n_lines)]
-            gap_range = (int(4 * s), int(20 * s))
+            sizes = [ri(10 * s, 34 * s) for _ in range(n_lines)]
+            gap_range = (max(1, int(4 * s)), max(2, int(20 * s)))
             centered = False
         else:  # cover: huge display title + author/publisher lines
             n_lines = self.rng.randint(2, 4)
-            sizes = [self.rng.randint(int(30 * s), int(64 * s))] + [
-                self.rng.randint(int(14 * s), int(30 * s)) for _ in range(n_lines - 1)
+            sizes = [ri(30 * s, 64 * s)] + [
+                ri(14 * s, 30 * s) for _ in range(n_lines - 1)
             ]
-            gap_range = (int(14 * s), int(48 * s))
+            gap_range = (max(1, int(14 * s)), max(2, int(48 * s)))
             centered = True
 
         # Decorative non-text elements (horizontal rules, frames, solid
@@ -335,19 +340,19 @@ class PageGenerator:
                     page[ry : ry + self.rng.randint(1, 4), rx0:rx1] = ink
                 elif kind < 0.8:  # frame/border
                     t = self.rng.randint(1, 3)
-                    m = self.rng.randint(2, max(3, int(10 * s)))
+                    m = ri(2, 10 * s)
                     page[m : m + t, m : width - m] = ink
                     page[height - m - t : height - m, m : width - m] = ink
                     page[m : height - m, m : m + t] = ink
                     page[m : height - m, width - m - t : width - m] = ink
                 else:  # solid blob (illustration stand-in)
-                    bw = self.rng.randint(int(20 * s), max(int(21 * s), width // 2))
-                    bh = self.rng.randint(int(20 * s), max(int(21 * s), height // 3))
+                    bw = ri(20 * s, width // 2)
+                    bh = ri(20 * s, height // 3)
                     bx = self.rng.randint(0, max(1, width - bw))
                     by = self.rng.randint(0, max(1, height - bh))
                     page[by : by + bh, bx : bx + bw] = ink
 
-        y = self.rng.randint(4, int(24 * s) + 4)
+        y = ri(4, 24 * s + 4)
         for size in sizes:
             text = self.lines.sample_text()
             font = self.lines._font(size)
