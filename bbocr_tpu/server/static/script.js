@@ -48,11 +48,26 @@ async function startCamera() {
     });
     const video = $("video");
     video.srcObject = state.stream;
-    video.hidden = false;
+    $("video-wrap").hidden = false;
     $("btn-snap").disabled = false;
+    video.addEventListener("loadedmetadata", updateCropOverlay);
+    updateCropOverlay();
   } catch (e) {
     alert("Camera unavailable: " + e.message);
   }
+}
+
+/* Live edge-crop preview: a dashed box over the video showing the region
+ * kept after central edge cropping (reference static/script.js:287-297). */
+function updateCropOverlay() {
+  const overlay = $("crop-overlay");
+  const pct = Math.max(0, Math.min(45, Number($("edge-crop").value) || 0));
+  if (!state.stream || pct <= 0) { overlay.hidden = true; return; }
+  overlay.hidden = false;
+  overlay.style.left = pct + "%";
+  overlay.style.right = pct + "%";
+  overlay.style.top = pct + "%";
+  overlay.style.bottom = pct + "%";
 }
 
 function snapPage() {
@@ -324,8 +339,47 @@ async function reject() {
   setJobState("rejected", "");
 }
 
+/* ------------------------ per-backend model lists ---------------------- */
+
+/* Reference static/script.js:225-263: each backend gets its own model
+ * menu; ollama's is refreshed live from /api/models (tags proxy). */
+const MODEL_LISTS = {
+  ollama: ["gemma3:4b", "gemma3:12b", "llava:7b", "llava:13b", "moondream"],
+  gemini: ["gemini-2.5-flash", "gemini-2.5-pro", "gemini-2.0-flash"],
+  openai: ["gpt-4o-mini", "gpt-4o"],
+  heuristic: [],
+};
+
+async function onBackendChange() {
+  const backend = $("backend").value;
+  const modelInput = $("model");
+  let models = MODEL_LISTS[backend] || [];
+  if (backend === "ollama") {
+    try {
+      const res = await fetch("/api/models");
+      const data = await res.json();
+      if (Array.isArray(data.models) && data.models.length) models = data.models;
+    } catch (e) { /* fall back to the static list */ }
+  }
+  const list = $("model-list");
+  list.innerHTML = "";
+  for (const m of models) {
+    const opt = document.createElement("option");
+    opt.value = m;
+    list.appendChild(opt);
+  }
+  modelInput.disabled = backend === "heuristic";
+  if (backend === "heuristic") {
+    modelInput.value = "";
+  } else if (models.length && !models.includes(modelInput.value)) {
+    modelInput.value = models[0];
+  }
+}
+
 /* ------------------------------- wiring ------------------------------- */
 
+$("backend").onchange = onBackendChange;
+$("edge-crop").oninput = updateCropOverlay;
 $("btn-cam").onclick = startCamera;
 $("btn-snap").onclick = snapPage;
 $("btn-process").onclick = processQueue;
@@ -339,3 +393,4 @@ $("file-input").onchange = (ev) => {
 
 refreshHealth();
 setInterval(refreshHealth, 30000);
+onBackendChange();
