@@ -70,13 +70,15 @@ def label_components_device(
     return jnp.where(m, lab + 1, 0).astype(jnp.int32)
 
 
-def component_stats_device(labels: jnp.ndarray, k: int):
+def component_stats_device(labels: jnp.ndarray, k: int, score: jnp.ndarray = None):
     """Top-``k`` component stats from device labels, fully on device.
 
     Returns ``(ids, x0, y0, x1, y1, count)`` each of shape (k,), padded
-    with zeros past the number of real components. Components are ranked
-    by population. O(H*W * k) compare-reduce — intended for small k
-    (word boxes per canvas) on half-resolution score maps.
+    with zeros past the number of real components — plus ``peak`` (the max
+    of ``score`` over the component, float32) when ``score`` is given.
+    Components are ranked by population. O(H*W * k) compare-reduce —
+    intended for small k (word boxes per canvas) on half-resolution score
+    maps.
     """
     h, w = labels.shape
     flat = labels.reshape(-1)
@@ -114,7 +116,7 @@ def component_stats_device(labels: jnp.ndarray, k: int):
         y1 = jnp.where(sel, ys, -1).max().astype(jnp.int32)
         valid = (cid > 0) & (cnt > 0)
         z = jnp.int32(0)
-        return (
+        out = (
             jnp.where(valid, cid, z),
             jnp.where(valid, x0, z),
             jnp.where(valid, y0, z),
@@ -122,5 +124,9 @@ def component_stats_device(labels: jnp.ndarray, k: int):
             jnp.where(valid, y1, z),
             jnp.where(valid, cnt, z),
         )
+        if score is not None:
+            peak = jnp.where(sel, score, 0.0).max().astype(jnp.float32)
+            out = out + (jnp.where(valid, peak, 0.0),)
+        return out
 
     return jax.vmap(stats_for)(ids)

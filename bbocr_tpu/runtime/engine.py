@@ -49,6 +49,10 @@ class EngineConfig:
     # Crops below this confidence are retried with contrast stretching
     # (the reference stack's contrast_ths / adjust_contrast knobs).
     contrast_ths: float = 0.1
+    # Single-dispatch fast path (readtext_fast): max component boxes per
+    # canvas and the one recognition width bucket the fused program uses.
+    fast_max_boxes: int = 24
+    fast_bucket_w: int = 256
     compute_dtype: Any = jnp.bfloat16
     # For requests this small (images), collapse all width buckets into the
     # widest needed one: each bucket is a separate device round trip, and on
@@ -334,6 +338,60 @@ class OCREngine:
                 out.append((quads[j] / max(scales[i], 1e-9), text, c))
             results[i] = out
         return results
+
+    def readtext_fast(self, image: np.ndarray) -> List[Tuple[np.ndarray, str, float]]:
+        """Single-dispatch latency path: ONE XLA program per photo.
+
+        detect -> on-device CC labeling -> top-K axis-aligned boxes ->
+        rectify -> recognize -> decode, with one canvas upload and one
+        small download (docs/ROADMAP.md "single-dispatch latency fast
+        path"). Output contract matches :meth:`readtext`; boxes are
+        axis-aligned (the host path's rotated rectangles stay the default
+        and the parity oracle)."""
+        from bbocr_tpu.decode import sort_reading_order
+        from bbocr_tpu.runtime.fastpath import make_fast_readtext
+
+        cfg = self.config
+        arr = np.asarray(image, np.float32)
+        if arr.ndim == 3:
+            arr = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+        canvas = bucketing.pick_canvas(arr.shape[0], arr.shape[1], cfg.canvases)
+        scale, oh, ow = bucketing.letterbox_params(arr.shape[0], arr.shape[1], canvas)
+        batch = np.zeros((1, canvas.height, canvas.width), np.uint8)
+        batch[0, :oh, :ow] = _host_resize(arr, oh, ow).astype(np.uint8)
+
+        key = (canvas, cfg.fast_max_boxes, cfg.fast_bucket_w)
+        if not hasattr(self, "_fast_cache"):
+            self._fast_cache = {}
+        if key not in self._fast_cache:
+            self._fast_cache[key] = make_fast_readtext(
+                self, (canvas.height, canvas.width), cfg.fast_max_boxes, cfg.fast_bucket_w
+            )
+        with self._lock, self.timers.stage("fast"):
+            boxes, ids, lens, conf, valid = self._fast_cache[key](
+                self.craft_params, self.crnn_params, jnp.asarray(batch)
+            )
+            boxes = np.asarray(boxes)
+            ids = np.asarray(ids)
+            lens = np.asarray(lens)
+            conf = np.asarray(conf)
+            valid = np.asarray(valid)
+
+        quads, entries = [], []
+        for i in range(len(valid)):
+            if not valid[i]:
+                continue
+            text = self.charset.decode_ids(ids[i][: lens[i]])
+            if not text or conf[i] < cfg.min_confidence:
+                continue
+            x0, y0, x1, y1 = boxes[i]
+            quad = np.array(
+                [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32
+            ) / max(scale, 1e-9)
+            quads.append(quad)
+            entries.append((quad, text, float(conf[i])))
+        order = sort_reading_order(quads)
+        return [entries[j] for j in order]
 
     def timings(self):
         """Per-stage wall-clock stats (letterbox/detect/boxes/rectify/

@@ -196,3 +196,68 @@ class TestBoxes:
                 assert len(full) == len(masked)
                 for a, b in zip(full, masked):
                     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestFastPath:
+    def test_device_boxes_match_host_axis_aligned(self):
+        """device_boxes_from_mask == host quads for axis-aligned components
+        (rectangular blobs, where the host min-area rect is axis-aligned)."""
+        from bbocr_tpu.decode.boxes import DetectionParams, _extract_boxes_from_mask
+        from bbocr_tpu.runtime.fastpath import device_boxes_from_mask
+
+        rng = np.random.default_rng(5)
+        mask = np.zeros((64, 80), np.uint8)
+        rects = [(4, 6, 10, 40), (30, 8, 8, 24), (46, 50, 12, 26)]  # y,x,h,w
+        for y, x, h, w in rects:
+            mask[y : y + h, x : x + w] = 1
+        region = mask.astype(np.float32) * 0.9
+
+        params = DetectionParams(use_native=False)
+        host_quads = _extract_boxes_from_mask(mask.astype(bool), region, params)
+        assert len(host_quads) == len(rects)
+
+        boxes, valid = jax.jit(
+            device_boxes_from_mask,
+            static_argnames=("k", "text_threshold", "min_size_px"),
+        )(
+            jnp.asarray(mask),
+            jnp.asarray(region),
+            8,
+            text_threshold=params.text_threshold,
+            min_size_px=params.min_size_px,
+        )
+        boxes = np.asarray(boxes)[np.asarray(valid)]
+        assert len(boxes) == len(rects)
+
+        got = sorted((round(b[0], 1), round(b[1], 1), round(b[2], 1), round(b[3], 1)) for b in boxes)
+        want = sorted(
+            (
+                round(q[:, 0].min(), 1), round(q[:, 1].min(), 1),
+                round(q[:, 0].max(), 1), round(q[:, 1].max(), 1),
+            )
+            for q in host_quads
+        )
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(g, w, atol=1.6)
+
+    def test_readtext_fast_contract(self):
+        """Single-dispatch path returns the readtext output contract."""
+        from bbocr_tpu.runtime import EngineConfig, OCREngine
+        from bbocr_tpu.runtime.bucketing import CanvasSpec
+
+        cfg = EngineConfig(
+            canvases=(CanvasSpec(128, 96),),
+            width_buckets=(32, 64),
+            batch_capacities=(4, 8),
+            compute_dtype=jnp.float32,
+            fast_max_boxes=6,
+            fast_bucket_w=64,
+        )
+        engine = OCREngine.create(seed=0, config=cfg)
+        img = np.random.default_rng(0).integers(0, 255, (200, 150), np.uint8)
+        res = engine.readtext_fast(img)
+        assert isinstance(res, list)
+        for box, text, conf in res:
+            assert box.shape == (4, 2)
+            assert isinstance(text, str) and text
+            assert 0.0 <= conf <= 1.0
