@@ -65,6 +65,7 @@ class BookMetadataExtractor:
         llm_backend: str = "ollama",
         engine: Optional[Any] = None,
         ollama_base_url: str = "http://127.0.0.1:11434",
+        isbn_reread: bool = True,
     ):
         self.model = model
         self.ocr_engine = (ocr_engine or "tpu").lower()
@@ -75,6 +76,7 @@ class BookMetadataExtractor:
         self.llm_timeout_seconds = float(max(5.0, ollama_timeout_seconds))
         self.llm_backend = (llm_backend or "ollama").lower()
         self.max_ocr_chars_per_image = int(max(1, max_ocr_chars_per_image))
+        self.isbn_reread = bool(isbn_reread)
         self.prompt_template = prompt_template if prompt_template is not None else PROMPT_TEMPLATE
         self.ollama_base_url = ollama_base_url
         self._trace_sink: Optional[TraceSink] = None
@@ -227,8 +229,25 @@ class BookMetadataExtractor:
 
         if self.ocr_engine == "tpu":
             eng = self.engine
-            if hasattr(eng, "read_lines"):
-                lines = eng.read_lines(image)
+            if hasattr(eng, "readtext"):
+                from bbocr_tpu.decode.boxes import group_lines
+
+                res = eng.readtext(image)
+                lines = []
+                if res:
+                    grouped = group_lines([r[0] for r in res])
+                    lines = [" ".join(res[i][1] for i in line) for line in grouped]
+                # Digit-biased high-res ISBN re-read (BASELINE config 3):
+                # a checksum-valid ISBN is appended as its own line so the
+                # heuristic structurer and the VLM context both see it.
+                if self.isbn_reread and res and hasattr(eng, "reread_isbn"):
+                    try:
+                        isbn = eng.reread_isbn(image, res)
+                    except Exception:
+                        isbn = None
+                    if isbn:
+                        lines = [ln for ln in lines if "isbn" not in ln.lower()]
+                        lines.append(f"ISBN {isbn}")
                 return " ".join(lines), lines
             text = eng.read_joined(image)
             return text, [text] if text else []

@@ -393,6 +393,87 @@ class OCREngine:
         order = sort_reading_order(quads)
         return [entries[j] for j in order]
 
+    # ------------------------------------------------------------------
+    # High-res ISBN re-read (BASELINE config 3)
+    # ------------------------------------------------------------------
+
+    def isbn_logits(self, image: np.ndarray, quad: np.ndarray, bucket_w: int = 384):
+        """Recognition logits for one quad sampled from the FULL-RES image.
+
+        The serving path rectifies crops from the letterboxed canvas, where
+        an ISBN line on a 3000px photo may be ~8px tall; this entry
+        re-samples the crop from the original pixels (host ROI crop around
+        the quad, static ROI canvas, one recognition dispatch at a wide
+        bucket). Returns (logits (T, C) float32, valid_frames int).
+        """
+        ROI_H, ROI_W = 128, 1024
+        arr = np.asarray(image, np.float32)
+        if arr.ndim == 3:
+            arr = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+        q = np.asarray(quad, np.float64)
+        margin = 8.0
+        x0 = max(0, int(np.floor(q[:, 0].min() - margin)))
+        y0 = max(0, int(np.floor(q[:, 1].min() - margin)))
+        x1 = min(arr.shape[1], int(np.ceil(q[:, 0].max() + margin)))
+        y1 = min(arr.shape[0], int(np.ceil(q[:, 1].max() + margin)))
+        roi = arr[y0:y1, x0:x1]
+        if roi.size == 0:
+            roi = arr
+            x0 = y0 = 0
+        rh, rw = roi.shape
+        scale = min(1.0, ROI_H / rh, ROI_W / rw)
+        if scale < 1.0:
+            roi = _host_resize(roi, max(1, int(rh * scale)), max(1, int(rw * scale)))
+        canvas = np.zeros((1, ROI_H, ROI_W), np.float32)
+        canvas[0, : roi.shape[0], : roi.shape[1]] = roi
+        qq = (q - [x0, y0]) * scale
+
+        w_src = max(np.linalg.norm(qq[1] - qq[0]), np.linalg.norm(qq[2] - qq[3]))
+        h_src = max(np.linalg.norm(qq[3] - qq[0]), np.linalg.norm(qq[2] - qq[1]))
+        true_w = int(np.clip(round(INPUT_HEIGHT * w_src / max(h_src, 1e-6)), 8, bucket_w))
+        homo = quad_to_rect_homography(qq, true_w)
+
+        key = ("isbn", ROI_H, ROI_W, bucket_w)
+        if not hasattr(self, "_fast_cache"):
+            self._fast_cache = {}
+        if key not in self._fast_cache:
+            crnn = self.crnn
+
+            def prog(params, roi_b, homo_b, tw):
+                crops = warp_crops(roi_b, homo_b, jnp.zeros((1,), jnp.int32), tw, bucket_w)
+                x = (crops / 127.5 - 1.0)[..., None]
+                return crnn.apply(params, x)
+
+            self._fast_cache[key] = jax.jit(prog)
+        with self._lock:
+            logits = self._fast_cache[key](
+                self.crnn_params,
+                jnp.asarray(canvas),
+                jnp.asarray(homo[None].astype(np.float32)),
+                jnp.asarray([true_w], jnp.int32),
+            )
+        return np.asarray(logits[0], np.float32), max(true_w // 4 - 1, 1)
+
+    def reread_isbn(self, image: np.ndarray, results) -> str | None:
+        """Digit-biased high-res re-read over ISBN-suspect boxes.
+
+        ``results``: readtext output. Suspects (text mentioning ISBN or a
+        long digit-ish run) are re-read most-digits-first; the first
+        checksum-valid ISBN wins (``decode.isbn``)."""
+        from bbocr_tpu.decode.isbn import decode_isbn, is_isbn_suspect
+
+        suspects = [
+            (sum(c.isdigit() for c in text), quad)
+            for quad, text, _ in results
+            if is_isbn_suspect(text)
+        ]
+        for _, quad in sorted(suspects, key=lambda e: -e[0])[:3]:
+            logits, frames = self.isbn_logits(image, quad)
+            isbn = decode_isbn(logits[:frames], self.charset)
+            if isbn:
+                return isbn
+        return None
+
     def timings(self):
         """Per-stage wall-clock stats (letterbox/detect/boxes/rectify/
         recognize) accumulated since engine creation."""

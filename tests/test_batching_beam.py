@@ -127,3 +127,84 @@ class TestBeamDecode:
         logits = self._logits(frames, n_cls=EN_CHARSET.num_classes)
         labels, _ = ctc_beam_decode_batch(logits[None])[0]
         assert EN_CHARSET.decode_ids(labels) == text
+
+
+class TestIsbnDecode:
+    def _logits_for(self, text, confusions=None, t_per_char=2):
+        """Construct (T, C) logits spelling ``text`` with optional frames
+        where a confusing char slightly outscores the true one."""
+        from bbocr_tpu.models.charset import EN_CHARSET
+
+        lut = {c: i + 1 for i, c in enumerate(EN_CHARSET.chars)}
+        n_cls = EN_CHARSET.num_classes
+        frames = []
+        for pos, ch in enumerate(text):
+            f = np.zeros(n_cls)
+            f[lut[ch]] = 6.0
+            if confusions and pos in confusions:
+                f[lut[confusions[pos]]] = 6.4  # confuser wins unbiased
+                f[lut[ch]] = 6.0
+            frames.append(f)
+            blank = np.zeros(n_cls)
+            blank[0] = 6.0
+            frames.extend([blank] * (t_per_char - 1))
+        return np.asarray(frames, np.float64)
+
+    def test_clean_isbn10_decodes(self):
+        from bbocr_tpu.decode.isbn import decode_isbn
+
+        logits = self._logits_for("0306406152")
+        assert decode_isbn(logits) == "0306406152"
+
+    def test_confused_digit_recovered_by_bias_and_checksum(self):
+        """'5'->'S' confusion: unbiased greedy yields a checksum-broken
+        string; digit bias + checksum recovers the valid ISBN."""
+        from bbocr_tpu.decode.isbn import decode_isbn
+        from bbocr_tpu.models.charset import EN_CHARSET
+
+        logits = self._logits_for("0306406152", confusions={8: "S"})
+        # sanity: greedy decode is wrong
+        greedy = EN_CHARSET.ctc_collapse(np.argmax(logits, axis=-1))
+        assert greedy != "0306406152"
+        assert decode_isbn(logits) == "0306406152"
+
+    def test_isbn13_with_dashes(self):
+        from bbocr_tpu.decode.isbn import decode_isbn
+
+        logits = self._logits_for("978-0-306-40615-7")
+        assert decode_isbn(logits) == "9780306406157"
+
+    def test_invalid_checksum_returns_none(self):
+        from bbocr_tpu.decode.isbn import decode_isbn
+
+        logits = self._logits_for("0306406153")  # bad check digit
+        assert decode_isbn(logits) is None
+
+    def test_suspect_patterns(self):
+        from bbocr_tpu.decode.isbn import is_isbn_suspect
+
+        assert is_isbn_suspect("ISBN 0-306-40615-2")
+        assert is_isbn_suspect("97803O6406157")  # OCR confusions
+        assert not is_isbn_suspect("A Novel")
+        assert not is_isbn_suspect("")
+
+    def test_engine_reread_contract(self):
+        """isbn_logits/reread_isbn run end-to-end on a tiny engine."""
+        import jax.numpy as jnp
+
+        from bbocr_tpu.runtime import EngineConfig, OCREngine
+        from bbocr_tpu.runtime.bucketing import CanvasSpec
+
+        cfg = EngineConfig(
+            canvases=(CanvasSpec(128, 96),),
+            width_buckets=(32, 64),
+            batch_capacities=(4, 8),
+            compute_dtype=jnp.float32,
+        )
+        engine = OCREngine.create(seed=0, config=cfg)
+        img = np.random.default_rng(0).integers(0, 255, (300, 220), np.uint8)
+        quad = np.array([[40, 100], [180, 100], [180, 130], [40, 130]], np.float32)
+        logits, frames = engine.isbn_logits(img, quad, bucket_w=64)
+        assert logits.ndim == 2 and logits.shape[0] >= frames
+        out = engine.reread_isbn(img, [(quad, "ISBN 123456789", 0.5)])
+        assert out is None or isinstance(out, str)
