@@ -122,7 +122,10 @@ def train_crnn(args) -> None:
     def make_batch(seed):
         gen = TextLineGenerator(cfg, seed=seed)
         width = widths[seed % len(widths)]
-        return gen.batch(args.batch, width=width)
+        crops, labels, label_lens, frame_lens = gen.batch(args.batch, width=width)
+        # u8 on the wire: step rate is upload-bandwidth-bound on relayed
+        # TPU links; crnn_loss widens on device.
+        return crops.astype(np.uint8), labels, label_lens, frame_lens
 
     q, stop = _prefetch(make_batch, n_threads=args.data_threads)
 
@@ -197,7 +200,10 @@ def train_craft(args) -> None:
 
     def make_batch(seed):
         gen = PageGenerator(SynthConfig(), seed=seed)
-        return gen.batch(args.batch, h, w)
+        pages, maps = gen.batch(args.batch, h, w)
+        # u8 pages + u8-quantized heatmaps: 4x less relay upload per step
+        # (craft_loss dequantizes on device).
+        return pages.astype(np.uint8), np.round(maps * 255.0).astype(np.uint8)
 
     q, stop = _prefetch(make_batch, n_threads=args.data_threads)
 

@@ -73,8 +73,10 @@ def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
 
 
 def crnn_loss(crnn: CRNN, params, crops, labels, label_lens, frame_lens) -> jnp.ndarray:
-    """CTC loss on (B, 32, W) crops in [0,255]."""
-    x = (crops / 127.5 - 1.0)[..., None]
+    """CTC loss on (B, 32, W) crops in [0,255] (any dtype; u8 on the wire —
+    4x less host->device traffic per step, which bounds step rate on
+    relayed TPU links)."""
+    x = (crops.astype(jnp.float32) / 127.5 - 1.0)[..., None]
     logits = crnn.apply(params, x)  # (B, T, C)
     b, t, _ = logits.shape
     frame_idx = jnp.arange(t)[None, :]
@@ -91,7 +93,11 @@ def craft_loss(craft: CRAFT, params, pages, target_maps, neg_ratio: float = 3.0)
 
     ``pages``: (B, H, W) gray [0,255]; targets (B, H/2, W/2, 2) in [0,1].
     """
-    rgb01 = jnp.repeat(pages[..., None], 3, axis=-1) / 255.0
+    rgb01 = jnp.repeat(pages.astype(jnp.float32)[..., None], 3, axis=-1) / 255.0
+    if target_maps.dtype == jnp.uint8:  # u8-quantized heatmaps on the wire
+        target_maps = target_maps.astype(jnp.float32) / 255.0
+    else:
+        target_maps = target_maps.astype(jnp.float32)
     pred = craft.apply(params, normalize_image(rgb01))
     err = (pred - target_maps) ** 2
     pos = (target_maps > 0.1).astype(jnp.float32)
