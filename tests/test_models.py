@@ -261,3 +261,58 @@ class TestFastPath:
             assert box.shape == (4, 2)
             assert isinstance(text, str) and text
             assert 0.0 <= conf <= 1.0
+
+
+class TestLineGrouping:
+    def _quad(self, x, y, w, h):
+        return np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]], np.float32)
+
+    def test_dense_copyright_block(self):
+        """Tightly-stacked small lines (a copyright page) must not merge:
+        the heuristic structurer depends on per-line structure (VERDICT
+        round-1 weak #7)."""
+        from bbocr_tpu.decode.boxes import group_lines
+
+        quads, want_lines = [], []
+        y = 10.0
+        for line_i in range(6):  # 6 dense lines, 12px tall, 4px gaps
+            line = []
+            x = 8.0
+            for _ in range(3):  # 3 words per line
+                quads.append(self._quad(x, y, 40, 12))
+                line.append(len(quads) - 1)
+                x += 48
+            want_lines.append(line)
+            y += 16
+        got = group_lines(quads)
+        assert got == want_lines
+
+    def test_jittered_baselines_still_group(self):
+        """Real detections have +-2px center jitter; same line must hold."""
+        from bbocr_tpu.decode.boxes import group_lines
+
+        rng = np.random.default_rng(3)
+        quads = []
+        for line_i in range(4):
+            y = 20 + line_i * 18
+            for w_i in range(4):
+                jit = float(rng.uniform(-2, 2))
+                quads.append(self._quad(10 + w_i * 50, y + jit, 42, 12))
+        got = group_lines(quads)
+        assert len(got) == 4
+        for line_i, line in enumerate(got):
+            assert line == [line_i * 4 + k for k in range(4)]
+
+    def test_mixed_sizes_title_page(self):
+        """A big title line above small imprint lines: tolerance scales
+        with box height so the title doesn't swallow the next line."""
+        from bbocr_tpu.decode.boxes import group_lines
+
+        quads = [
+            self._quad(20, 10, 160, 40),   # display title
+            self._quad(30, 58, 70, 12),    # by-line
+            self._quad(104, 58, 70, 12),
+            self._quad(40, 76, 120, 12),   # publisher
+        ]
+        got = group_lines(quads)
+        assert got == [[0], [1, 2], [3]]
