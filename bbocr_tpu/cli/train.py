@@ -103,8 +103,9 @@ def train_crnn(args) -> None:
     from bbocr_tpu.utils.cer import corpus_cer
     from bbocr_tpu.utils.checkpoint import save_params
     from bbocr_tpu.decode import ctc_greedy_decode
+    from bbocr_tpu.models.charset import CHARSETS
 
-    cfg = SynthConfig()
+    cfg = SynthConfig(charset=CHARSETS[args.charset])
     crnn = CRNN(num_classes=cfg.charset.num_classes)
     params = crnn.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 32, 64, 1), jnp.float32))
     if args.init_from:
@@ -168,10 +169,12 @@ def train_crnn(args) -> None:
             )
         if step % args.save_every == 0 or step == args.steps:
             os.makedirs(args.out, exist_ok=True)
-            save_params(os.path.join(args.out, "crnn.npz"), jax.device_get(params))
+            name = "crnn.npz" if args.charset == "en" else f"crnn_{args.charset}.npz"
+            save_params(os.path.join(args.out, name), jax.device_get(params))
             _maybe_save_state(args, step, params, opt_state)
     stop.set()
-    print(f"saved {os.path.join(args.out, 'crnn.npz')}")
+    name = "crnn.npz" if args.charset == "en" else f"crnn_{args.charset}.npz"
+    print(f"saved {os.path.join(args.out, name)}")
 
 
 def train_craft(args) -> None:
@@ -194,7 +197,7 @@ def train_craft(args) -> None:
     tx = make_optimizer(_train_config(args))
     opt_state = tx.init(params)
     params, opt_state, start_step = _maybe_resume(args, params, opt_state)
-    step_fn = make_craft_train_step(craft, tx)
+    step_fn = make_craft_train_step(craft, tx, neg_ratio=args.neg_ratio)
 
     h, w = args.page_h, args.page_w
 
@@ -251,6 +254,10 @@ def main():
     p.add_argument("--schedule", choices=["constant", "cosine"], default="constant",
                    help="LR schedule (cosine = warmup then cosine decay over --steps)")
     p.add_argument("--warmup", type=int, default=0, help="linear warmup steps")
+    p.add_argument("--charset", choices=["en", "latin_ext"], default="en",
+                   help="recognizer head charset (latin_ext = BASELINE config 4)")
+    p.add_argument("--neg-ratio", type=float, default=3.0,
+                   help="craft loss: weight on background (false-positive) MSE")
     p.add_argument("--state-dir", type=str, default=None,
                    help="orbax train-state dir: saves full resumable state every "
                         "--save-every and auto-resumes from the latest checkpoint")

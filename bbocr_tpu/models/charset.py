@@ -74,3 +74,15 @@ LATIN_EXT_CHARS = EN_CHARS + (
 )
 
 LATIN_EXT_CHARSET = Charset(LATIN_EXT_CHARS)
+
+CHARSETS = {"en": EN_CHARSET, "latin_ext": LATIN_EXT_CHARSET}
+
+
+def charset_for_num_classes(num_classes: int) -> Charset:
+    """Infer the charset a recognizer head was trained with from its CTC
+    output width (chars + 1 blank). Lets the engine load en and latin-ext
+    checkpoints interchangeably (BASELINE config 4)."""
+    for cs in CHARSETS.values():
+        if cs.num_classes == num_classes:
+            return cs
+    raise ValueError(f"no known charset with num_classes={num_classes}")

@@ -187,8 +187,19 @@ class OCREngine:
         return cls(craft_params, crnn_params, config, charset, mesh=mesh)
 
     @classmethod
-    def from_checkpoint(cls, craft_path: str, crnn_path: str, config: EngineConfig = EngineConfig(), charset: Charset = EN_CHARSET, mesh: Any = None):
-        return cls(load_params(craft_path), load_params(crnn_path), config, charset, mesh=mesh)
+    def from_checkpoint(cls, craft_path: str, crnn_path: str, config: EngineConfig = EngineConfig(), charset: Charset = None, mesh: Any = None):
+        """Charset defaults to whatever the checkpoint's CTC head was
+        trained with (en / latin-ext heads load interchangeably)."""
+        crnn_params = load_params(crnn_path)
+        if charset is None:
+            from bbocr_tpu.models.charset import charset_for_num_classes
+
+            try:
+                head = crnn_params["params"]["head"]["bias"]
+                charset = charset_for_num_classes(int(head.shape[0]))
+            except (KeyError, ValueError):
+                charset = EN_CHARSET
+        return cls(load_params(craft_path), crnn_params, config, charset, mesh=mesh)
 
     # ------------------------------------------------------------------
     # Public API

@@ -47,6 +47,16 @@ _SURNAMES = (
     "Ward Rubin Johnson Steffensen Brown Smith Miller Davis Wilson Clark "
     "Lewis Walker Young King Wright Hill Adams Baker Carter Mitchell"
 ).split()
+# Western-European words for latin-ext recognizer heads (BASELINE config 4):
+# sampled only when the charset covers the accents (DejaVu has coverage).
+_ACCENT_WORDS = (
+    "édition préface français théâtre poésie château être déjà après "
+    "größe straße über müller für königs bücher zürich "
+    "españa año señor música código "
+    "città perché così più caffè "
+    "histoire littérature bibliothèque ausgabe verlag übersetzt"
+).split()
+
 _PUBLISHER_PATTERNS = (
     "{s} Books", "{s} Press", "{s} Publishing", "{s} & Company",
     "{s}, Mead and Company", "{s} Company", "Little, Brown and Company",
@@ -116,6 +126,11 @@ class TextLineGenerator:
 
     def sample_text(self) -> str:
         r = self.rng.random()
+        if r < 0.12 and len(self.config.charset.chars) > 100:
+            # accented words for latin-ext heads
+            n = self.rng.randint(1, 3)
+            text = " ".join(self.rng.choice(_ACCENT_WORDS) for _ in range(n))
+            return text.title() if self.rng.random() < 0.4 else text
         if r < 0.2:
             # numbers / ISBN-ish strings (digit-heavy CTC per BASELINE config 3)
             n = self.rng.randint(4, 17)

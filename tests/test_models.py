@@ -316,3 +316,66 @@ class TestLineGrouping:
         ]
         got = group_lines(quads)
         assert got == [[0], [1, 2], [3]]
+
+
+class TestCharsets:
+    def test_charset_inference_from_head(self):
+        from bbocr_tpu.models.charset import (
+            CHARSETS,
+            EN_CHARSET,
+            LATIN_EXT_CHARSET,
+            charset_for_num_classes,
+        )
+
+        assert charset_for_num_classes(EN_CHARSET.num_classes) is EN_CHARSET
+        assert charset_for_num_classes(LATIN_EXT_CHARSET.num_classes) is LATIN_EXT_CHARSET
+        with pytest.raises(ValueError):
+            charset_for_num_classes(12345)
+        assert set(CHARSETS) == {"en", "latin_ext"}
+
+    def test_latin_ext_roundtrip(self):
+        from bbocr_tpu.models.charset import LATIN_EXT_CHARSET
+
+        text = "Éditions Gallimard — über das Größe perché più"
+        enc = LATIN_EXT_CHARSET.encode(text)
+        dec = LATIN_EXT_CHARSET.decode_ids(enc)
+        # em-dash is outside the charset; accents must survive
+        assert "Éditions" in dec and "über" in dec and "Größe" in dec and "più" in dec
+
+    def test_synth_samples_accents_only_for_latin_ext(self):
+        from bbocr_tpu.models.charset import LATIN_EXT_CHARSET
+        from bbocr_tpu.train.synth import SynthConfig, TextLineGenerator
+
+        gen = TextLineGenerator(SynthConfig(charset=LATIN_EXT_CHARSET), seed=4)
+        texts = [gen.sample_text() for _ in range(300)]
+        assert any(any(ord(c) > 127 and c != "€" for c in t) for t in texts)
+
+        gen_en = TextLineGenerator(SynthConfig(), seed=4)
+        texts_en = [gen_en.sample_text() for _ in range(300)]
+        assert not any("é" in t or "ü" in t for t in texts_en)
+
+    def test_engine_from_checkpoint_infers_charset(self, tmp_path):
+        import os
+
+        from bbocr_tpu.models import CRNN
+        from bbocr_tpu.models.charset import LATIN_EXT_CHARSET
+        from bbocr_tpu.runtime import EngineConfig, OCREngine
+        from bbocr_tpu.runtime.bucketing import CanvasSpec
+        from bbocr_tpu.utils.checkpoint import load_params, save_params
+        from bbocr_tpu.models import CRAFT
+
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        craft_p = CRAFT().init(k1, jnp.zeros((1, 64, 64, 3), jnp.float32))
+        crnn_p = CRNN(num_classes=LATIN_EXT_CHARSET.num_classes).init(
+            k2, jnp.zeros((1, 32, 64, 1), jnp.float32)
+        )
+        save_params(str(tmp_path / "craft.npz"), jax.device_get(craft_p))
+        save_params(str(tmp_path / "crnn.npz"), jax.device_get(crnn_p))
+        cfg = EngineConfig(
+            canvases=(CanvasSpec(64, 64),), width_buckets=(32,),
+            batch_capacities=(4,), compute_dtype=jnp.float32,
+        )
+        eng = OCREngine.from_checkpoint(
+            str(tmp_path / "craft.npz"), str(tmp_path / "crnn.npz"), cfg
+        )
+        assert eng.charset is LATIN_EXT_CHARSET
