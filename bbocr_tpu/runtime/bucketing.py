@@ -14,8 +14,10 @@ import numpy as np
 
 from bbocr_tpu.models.crnn import INPUT_HEIGHT
 
-# Recognizer width buckets (pixels). T = w/4 - 1 CTC frames.
-DEFAULT_WIDTH_BUCKETS: Tuple[int, ...] = (64, 128, 256, 384)
+# Recognizer width buckets (pixels). T = w/4 - 1 CTC frames. 512 exists for
+# full-width lines cropped from the hi-res canvases (imprint/arrangement
+# lines on title pages run ~20:1 aspect).
+DEFAULT_WIDTH_BUCKETS: Tuple[int, ...] = (64, 128, 256, 384, 512)
 
 # Crop-count capacities per recognizer batch: next value >= n, so at most
 # len(CAPACITIES) compiled programs per width bucket.
@@ -46,17 +48,37 @@ class CanvasSpec:
 
 
 DEFAULT_CANVASES: Tuple[CanvasSpec, ...] = (
-    CanvasSpec(704, 512),   # portrait book photos (cover/title/copyright)
-    CanvasSpec(512, 704),   # landscape
-    CanvasSpec(512, 512),   # square-ish
+    CanvasSpec(704, 512),    # portrait book photos (cover/title/copyright)
+    CanvasSpec(512, 704),    # landscape
+    CanvasSpec(512, 512),    # square-ish
+    CanvasSpec(1408, 1024),  # hi-res portrait (camera photos of dense pages)
+    CanvasSpec(1024, 1408),  # hi-res landscape
 )
+
+# Letterboxing may shrink an image's long side to at most this fraction
+# before we escalate to a larger canvas. Real-photo finding (round 2): the
+# reference's 2400px page photos at the 704x512 canvas land at 0.29x scale,
+# which pushes body text below CRAFT's resolution and cost ~all word recall;
+# at >= ~0.55x the same checkpoints read title/copyright pages correctly.
+DETAIL_SCALE = 0.55
 
 
 def pick_canvas(h: int, w: int, canvases: Sequence[CanvasSpec] = DEFAULT_CANVASES) -> CanvasSpec:
-    """Choose the canvas whose aspect ratio best matches the image."""
+    """Choose a canvas by aspect ratio AND resolution.
+
+    Among canvases that keep the letterbox scale >= DETAIL_SCALE, pick the
+    best aspect match (ties -> smaller canvas = cheaper detect). If none is
+    large enough, pick the one preserving the most detail.
+    """
     aspect = w / max(h, 1)
-    best = min(canvases, key=lambda c: abs(c.width / c.height - aspect))
-    return best
+
+    def fit(c: CanvasSpec) -> float:
+        return min(c.height / h, c.width / w)
+
+    keep = [c for c in canvases if fit(c) >= DETAIL_SCALE]
+    if keep:
+        return min(keep, key=lambda c: (abs(c.width / c.height - aspect), c.height * c.width))
+    return max(canvases, key=lambda c: (fit(c), -abs(c.width / c.height - aspect)))
 
 
 def letterbox_params(h: int, w: int, canvas: CanvasSpec) -> Tuple[float, int, int]:
