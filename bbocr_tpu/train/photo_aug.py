@@ -191,6 +191,40 @@ def warp_page_and_maps(
     return np.asarray(page_w, np.float32), maps_w
 
 
+def art_background(rng: random.Random, h: int, w: int) -> np.ndarray:
+    """Book-cover artwork stand-in: multi-scale blurred noise + shapes.
+
+    Real covers (data/real/covers: photographic jackets, painted fantasy
+    art, worn cloth) put display text over high-frequency imagery. The
+    detector must learn "text = glyph-shaped local contrast", not "dark
+    marks on flat paper" — this supplies the busy ground, (H, W) [0,255].
+    """
+    from PIL import ImageDraw, ImageFilter
+
+    np_rng = np.random.default_rng(rng.randint(0, 1 << 31))
+    img = np.full((h, w), rng.uniform(40, 200), np.float32)
+    for scale in (4, 8, 16):
+        small = np_rng.uniform(0, 255, (max(2, h // scale), max(2, w // scale)))
+        up = np.asarray(
+            Image.fromarray(small.astype(np.uint8)).resize((w, h), Image.BILINEAR),
+            np.float32,
+        )
+        img = img + (up - 128.0) * rng.uniform(0.15, 0.5)
+    pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+    d = ImageDraw.Draw(pil)
+    for _ in range(rng.randint(2, 8)):
+        x0, y0 = rng.randint(-w // 4, w), rng.randint(-h // 4, h)
+        x1 = x0 + rng.randint(8, max(9, w // 2))
+        y1 = y0 + rng.randint(8, max(9, h // 2))
+        shade = rng.randint(0, 255)
+        if rng.random() < 0.5:
+            d.ellipse([x0, y0, x1, y1], fill=shade)
+        else:
+            d.rectangle([x0, y0, x1, y1], fill=shade)
+    pil = pil.filter(ImageFilter.GaussianBlur(rng.uniform(0.6, 2.5)))
+    return np.asarray(pil, np.float32)
+
+
 def clutter_background(rng: random.Random, h: int, w: int) -> np.ndarray:
     """Bookshelf-ish clutter: random gray rectangles + texture, (H, W)."""
     np_rng = np.random.default_rng(rng.randint(0, 1 << 31))

@@ -187,12 +187,34 @@ class TextLineGenerator:
             bg, fg = mid + delta // 2, mid - delta // 2
             if self.rng.random() < 0.5:
                 bg, fg = fg, bg
-        img = Image.new("L", (width * 2, cfg.height * 2), bg)
+        busy_bg = self.rng.random() < 0.2 * cfg.style_aug
+        if busy_bg:
+            # cover-art ground: display text over busy imagery (the
+            # rectified-crop view of data/real/covers)
+            from bbocr_tpu.train.photo_aug import art_background
+
+            art = art_background(self.rng, cfg.height * 2, width * 2)
+            img = Image.fromarray(art.astype(np.uint8))
+            m = float(art.mean())
+            if m < 110:
+                fg = self.rng.randint(180, 255)
+            elif m < 180:
+                fg = self.rng.choice([self.rng.randint(0, 50), self.rng.randint(230, 255)])
+            else:
+                fg = self.rng.randint(0, 60)
+            bg = int(m)
+        else:
+            img = Image.new("L", (width * 2, cfg.height * 2), bg)
         draw = ImageDraw.Draw(img)
         x0 = self.rng.randint(0, 6)
         y0 = self.rng.randint(0, max(1, cfg.height * 2 - size - 8))
         stroke = 0
-        if self.rng.random() < 0.15 * cfg.style_aug:
+        stroke_color = fg
+        if self.rng.random() < (0.5 if busy_bg else 0.08 * cfg.style_aug):
+            # contrasting outline around the glyphs (movie-poster display)
+            stroke = max(1, size // 12)
+            stroke_color = 0 if fg > 127 else 255
+        elif self.rng.random() < 0.15 * cfg.style_aug:
             stroke = self.rng.randint(1, 2)  # display/outline faces
         tracking = 0
         if self.rng.random() < 0.25 * cfg.style_aug:
@@ -200,7 +222,7 @@ class TextLineGenerator:
         if tracking:
             x = x0
             for ch in text:
-                draw.text((x, y0), ch, fill=fg, font=font, stroke_width=stroke, stroke_fill=fg)
+                draw.text((x, y0), ch, fill=fg, font=font, stroke_width=stroke, stroke_fill=stroke_color)
                 cw = draw.textbbox((0, 0), ch, font=font)[2]
                 x += cw + tracking
             right_guess = x
@@ -209,7 +231,7 @@ class TextLineGenerator:
             if tight:
                 bbox = (bbox[0] + tight[0], bbox[1] + tight[1], bbox[0] + tight[2], bbox[1] + tight[3])
         else:
-            draw.text((x0, y0), text, fill=fg, font=font, stroke_width=stroke, stroke_fill=fg)
+            draw.text((x0, y0), text, fill=fg, font=font, stroke_width=stroke, stroke_fill=stroke_color)
             bbox = draw.textbbox((x0, y0), text, font=font, stroke_width=stroke)
         if self.rng.random() < 0.2 * cfg.style_aug:
             # faux italic: horizontal shear around the text baseline
@@ -304,15 +326,24 @@ class PageGenerator:
 
         mode = self.rng.random()
         cover = mode >= 0.72
+        art_cover = False
         if cover:
             # covers: any tone, incl. dark cloth/jacket; text picked for
-            # contrast below
+            # contrast below. 60% get procedural artwork backgrounds
+            # (photographic jackets / painted art — data/real/covers).
+            art_cover = self.rng.random() < 0.6
             bg = self.rng.choice(
                 [self.rng.randint(15, 90), self.rng.randint(90, 170), self.rng.randint(170, 250)]
             )
         else:
             bg = self.rng.randint(160, 250)
-        page = np.full((height, width), bg, np.float32)
+        if art_cover:
+            from bbocr_tpu.train.photo_aug import art_background
+
+            page = art_background(self.rng, height, width)
+            bg = int(page.mean())
+        else:
+            page = np.full((height, width), bg, np.float32)
         region = np.zeros((height // 2, width // 2), np.float32)
         affinity = np.zeros((height // 2, width // 2), np.float32)
 
@@ -368,47 +399,76 @@ class PageGenerator:
                     page[by : by + bh, bx : bx + bw] = ink
 
         y = ri(4, 24 * s + 4)
+        pil_page = Image.fromarray(np.clip(page, 0, 255).astype(np.uint8))
+        draw = ImageDraw.Draw(pil_page)
+        page_dirty = False
         for size in sizes:
             text = self.lines.sample_text()
             font = self.lines._font(size)
-            line_h = int(size * 1.8) + 8
-            tmp = Image.new("L", (width, line_h), bg)
-            d = ImageDraw.Draw(tmp)
-            bbox = d.textbbox((2, 2), text, font=font)
-            if cover or self.rng.random() < 0.1:
-                # contrast-aware fill: light text on dark grounds
-                if bg < 110:
-                    fill = self.rng.randint(170, 255)
-                elif bg < 180:
-                    fill = self.rng.choice([self.rng.randint(0, 60), self.rng.randint(230, 255)])
-                else:
-                    fill = self.rng.randint(0, 80)
-            else:
-                fill = self.rng.randint(0, 80)
-            d.text((2, 2), text, fill=fill, font=font)
-            tw = min(bbox[2] + 2, width)
-            th = min(bbox[3] + 2, line_h)
+            # display-type styling on covers: letterspaced caps + outline
+            tracking = 0
+            if cover and self.rng.random() < 0.35:
+                text = text.upper()
+                tracking = self.rng.randint(2, max(3, size // 3))
+            bbox0 = draw.textbbox((0, 0), text, font=font)
+            tw = min(bbox0[2] + 2 + tracking * max(0, len(text) - 1), width)
+            th = min(bbox0[3] + 2, height)
             if y + th >= height:
                 break
             if centered:
                 x = min(max(0, (width - tw) // 2 + self.rng.randint(-4, 4)), width - tw)
             else:
                 x = self.rng.randint(0, width - tw) if width > tw else 0
-            patch = np.asarray(tmp, np.float32)[:th, :tw]
-            page[y : y + th, x : x + tw] = patch
-            # char-level gaussians: approximate per-character centers evenly
+            # contrast-aware fill vs the LOCAL ground (art covers vary)
+            if art_cover:
+                local = np.asarray(pil_page, np.float32)[y : y + th, x : x + tw]
+                local_mean = float(local.mean()) if local.size else float(bg)
+            else:
+                local_mean = float(bg)
+            if cover or self.rng.random() < 0.1:
+                if local_mean < 110:
+                    fill = self.rng.randint(170, 255)
+                elif local_mean < 180:
+                    fill = self.rng.choice([self.rng.randint(0, 60), self.rng.randint(230, 255)])
+                else:
+                    fill = self.rng.randint(0, 80)
+            else:
+                fill = self.rng.randint(0, 80)
+            stroke_w, stroke_fill = 0, None
+            if art_cover and self.rng.random() < 0.5:
+                # contrasting outline (the "1984" / movie-poster look) keeps
+                # display text legible over any art
+                stroke_w = max(1, size // 14)
+                stroke_fill = 0 if fill > 127 else 255
+            char_xs = []  # exact per-char left edges for supervision
+            if tracking:
+                cx_pen = x
+                for ch in text:
+                    draw.text((cx_pen, y), ch, fill=fill, font=font,
+                              stroke_width=stroke_w, stroke_fill=stroke_fill)
+                    char_xs.append(cx_pen)
+                    cw_ch = draw.textbbox((0, 0), ch, font=font)[2]
+                    cx_pen += cw_ch + tracking
+            else:
+                draw.text((x, y), text, fill=fill, font=font,
+                          stroke_width=stroke_w, stroke_fill=stroke_fill)
+            page_dirty = True
+            # char-level gaussians: exact centers when letterspaced,
+            # even-split approximation otherwise
             n_chars = max(len(text), 1)
             cw = tw / n_chars
             for ci in range(n_chars):
                 if text[ci] == " ":
                     continue
-                cx = (x + (ci + 0.5) * cw) / 2.0
+                cx = (char_xs[ci] + cw / 2.0) / 2.0 if tracking else (x + (ci + 0.5) * cw) / 2.0
                 cy = (y + th / 2.0) / 2.0
                 _add_gaussian(region, cx, cy, max(cw, th) / 4.0)
                 if ci + 1 < n_chars and text[ci + 1] != " ":
-                    ax = (x + (ci + 1.0) * cw) / 2.0
+                    ax = (char_xs[ci + 1] / 2.0) if tracking else (x + (ci + 1.0) * cw) / 2.0
                     _add_gaussian(affinity, ax, cy, max(cw, th) / 5.0)
             y += th + self.rng.randint(*gap_range)
+        if page_dirty or art_cover:
+            page = np.asarray(pil_page, np.float32)
 
         maps = np.clip(np.stack([region, affinity], axis=-1), 0.0, 1.0).astype(np.float32)
 
