@@ -189,3 +189,30 @@ class TestFullPath:
         # the engine actually ran: stage timers accumulated on the real path
         timings = meta["_processing_info"].get("engine_timings", {})
         assert "detect" in timings and timings["detect"]["count"] >= 1
+
+
+class TestRealEvalUtils:
+    """Pure helpers of the real-photo eval harness (cli/evaluate_real)."""
+
+    def test_word_recall_counts_tokens_and_substrings(self):
+        from bbocr_tpu.cli.evaluate_real import word_recall
+
+        r = word_recall(["Beyond the Frontier"], "lBeyond the Froncc")
+        # "THE" found as token, "BEYOND" found inside "LBEYOND" (substring
+        # rule handles OCR word-merging); "FRONTIER" missing.
+        assert r["total"] == 3
+        assert r["found"] == 2
+
+    def test_word_recall_empty_phrases(self):
+        from bbocr_tpu.cli.evaluate_real import word_recall
+
+        assert word_recall([], "anything")["recall"] is None
+
+    def test_rotation_score_gates_garbage(self):
+        from bbocr_tpu.cli.evaluate_real import rotation_score
+
+        garbage = [(None, t, 0.1) for t in ("2--", "yrk", "WEE", "HA", "D")] * 40
+        clean = [(None, "A. L. BURT COMPANY", 0.8), (None, "Publishers", 0.6)]
+        assert rotation_score(clean) > rotation_score(garbage)
+        # short or low-confidence fragments contribute nothing
+        assert rotation_score([(None, "ab", 0.9), (None, "xyz", 0.2)]) == 0.0
