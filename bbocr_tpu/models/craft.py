@@ -75,10 +75,19 @@ class VGG16BN(nn.Module):
 
     dtype: Any = jnp.bfloat16
     norm: str = "group"
+    # Serving fast path: input is ONE raw-gray channel in [0,255]; a
+    # constant ones-plane is concatenated so conv1 (re-folded by
+    # models.weights.fold_gray_stem into a (3,3,2,out) kernel) reproduces
+    # /255 + ImageNet normalize + gray->RGB repeat EXACTLY, including the
+    # SAME-zero-padding semantics: the ones-plane zero-pads to 0, which
+    # cancels the mean-shift at padded taps just like the reference path.
+    gray_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         c = lambda f: ConvBN(f, dtype=self.dtype, norm=self.norm)
+        if self.gray_input:
+            x = jnp.concatenate([x, jnp.ones_like(x)], axis=-1)
         x = c(64)(x, train)
         x = c(64)(x, train)
         x = _maxpool(x)  # /2
@@ -132,10 +141,14 @@ class CRAFT(nn.Module):
     # from-scratch training uses a sigmoid head. Imported torch weights set
     # final_sigmoid=False to keep the published score semantics.
     final_sigmoid: bool = True
+    # See VGG16BN.gray_input (folded raw-gray serving stem).
+    gray_input: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        f1, f2, f3, f4, f5 = VGG16BN(dtype=self.dtype, norm=self.norm)(x, train)
+        f1, f2, f3, f4, f5 = VGG16BN(
+            dtype=self.dtype, norm=self.norm, gray_input=self.gray_input
+        )(x, train)
         y = jnp.concatenate([f5, f4], axis=-1)  # 1536 @ /16
         y = DoubleConv(512, 256, self.dtype, self.norm)(y, train)
         y = jnp.concatenate([_upsample_to(y, f3), f3], axis=-1)  # 256+512 @ /8

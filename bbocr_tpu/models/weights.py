@@ -121,3 +121,47 @@ def load_crnn_torch_checkpoint(path: str) -> Dict[str, Any]:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return import_crnn_from_torch(sd)
+
+
+def fold_gray_stem(craft_params: Mapping[str, Any]) -> Dict[str, Any]:
+    """Fold gray->RGB repeat + /255 + ImageNet normalize into CRAFT's conv1.
+
+    The serving engine letterboxes photos as single uint8 gray planes; the
+    published CRAFT preprocessing then costs three full-resolution
+    elementwise passes (channel repeat, scale, normalize) and triples the
+    stem conv's input bandwidth. Each step is affine per channel:
+
+        x_c = g / (255 std_c) - mean_c / std_c
+
+    A naive kernel+bias fold breaks at SAME-padded borders (the reference
+    zero-pads in *normalized* space, where 0 != any single gray value), so
+    the fold uses TWO input channels — the gray plane and a constant ones
+    plane carrying the mean shift:
+
+        k0[...,o] = sum_c W[...,c,o] / (255 std_c)          (gray channel)
+        k1[k,o]   = -sum_c W[k,c,o] * mean_c / std_c        (ones channel)
+
+    Zero-padding zeroes BOTH channels at padded taps, exactly like the
+    reference path zeroes x there — the fold is exact everywhere. Use with
+    ``CRAFT(gray_input=True)`` on raw gray inputs in [0, 255] (the model
+    concatenates the ones plane itself).
+    """
+    from bbocr_tpu.models.craft import IMAGENET_MEAN, IMAGENET_STD
+
+    params = dict(craft_params)
+    p = params["params"]["VGG16BN_0"]["ConvBN_0"]["Conv_0"]
+    w = np.asarray(p["kernel"], np.float32)  # (3, 3, 3, out)
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    k_gray = (w / (255.0 * std[None, None, :, None])).sum(axis=2, keepdims=True)
+    k_ones = -(w * (mean / std)[None, None, :, None]).sum(axis=2, keepdims=True)
+    w2 = np.concatenate([k_gray, k_ones], axis=2)  # (3, 3, 2, out)
+    new_conv = {"kernel": w2.astype(w.dtype)}
+    # rebuild nested dicts without mutating the caller's tree
+    vgg = dict(params["params"]["VGG16BN_0"])
+    cbn = dict(vgg["ConvBN_0"])
+    cbn["Conv_0"] = new_conv
+    vgg["ConvBN_0"] = cbn
+    top = dict(params["params"])
+    top["VGG16BN_0"] = vgg
+    return {**params, "params": top}

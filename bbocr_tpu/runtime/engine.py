@@ -59,6 +59,10 @@ class EngineConfig:
     # relayed links round-trip latency beats the extra padded FLOPs for
     # single-photo p50. Lengths/padding semantics make results equivalent.
     merge_buckets_below: int = 2
+    # Fold gray->RGB + /255 + ImageNet normalize into CRAFT's first conv
+    # (models.weights.fold_gray_stem): exact, removes three full-res
+    # elementwise passes and 3x stem input bandwidth from the detect program.
+    fold_gray_stem: bool = True
 
 
 class OCREngine:
@@ -82,6 +86,17 @@ class OCREngine:
         self.charset = charset
         self.craft = CRAFT(dtype=config.compute_dtype)
         self.crnn = CRNN(num_classes=charset.num_classes, dtype=config.compute_dtype)
+        # Serving stem: detect consumes the raw gray canvas directly, with
+        # channel-repeat + /255 + ImageNet normalize folded into conv1
+        # (exact — see models.weights.fold_gray_stem).
+        self._fold = bool(config.fold_gray_stem)
+        if self._fold:
+            from bbocr_tpu.models.weights import fold_gray_stem
+
+            craft_params = fold_gray_stem(craft_params)
+            self.craft_infer = CRAFT(dtype=config.compute_dtype, gray_input=True)
+        else:
+            self.craft_infer = self.craft
         self.mesh = mesh
         self._dp = int(mesh.shape["dp"]) if mesh is not None else 1
         # Pin parameters to the device once: checkpoint loaders hand back
@@ -106,15 +121,20 @@ class OCREngine:
         self._lock = threading.Lock()
         self.timers = StageTimer()
 
-        def detect(params, rgb01):
+        def detect(params, gray255):
             """Score maps -> (mask u8, region u8) computed on device.
 
-            The detection thresholds are applied inside the program so the
-            host downloads two u8 planes per canvas instead of two f32
-            score maps (4x less relay traffic); the region plane ships
-            quantized for the native labeler's max-score statistic.
+            Takes the (B, H, W) float gray canvas in [0, 255]. The detection
+            thresholds are applied inside the program so the host downloads
+            two u8 planes per canvas instead of two f32 score maps (4x less
+            relay traffic); the region plane ships quantized for the native
+            labeler's max-score statistic.
             """
-            maps = self.craft.apply(params, normalize_image(rgb01))
+            if self._fold:
+                x = gray255[..., None]
+            else:
+                x = normalize_image(jnp.repeat(gray255[..., None], 3, axis=-1) / 255.0)
+            maps = self.craft_infer.apply(params, x)
             region = maps[..., 0]
             affinity = maps[..., 1]
             det = config.detection
@@ -260,8 +280,7 @@ class OCREngine:
                 canvas_batches[canvas] = dev_batch
 
             with self.timers.stage("detect"):
-                rgb01 = jnp.repeat(dev_batch[..., None], 3, axis=-1) / 255.0
-                masks, regions_q = self._detect(self.craft_params, rgb01)
+                masks, regions_q = self._detect(self.craft_params, dev_batch)
                 masks = np.asarray(masks)
                 regions_q = np.asarray(regions_q)
             with self.timers.stage("boxes"):

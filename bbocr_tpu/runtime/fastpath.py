@@ -90,8 +90,11 @@ def make_fast_readtext(engine, canvas_hw: Tuple[int, int], k: int, bucket_w: int
 
     def program(craft_params, crnn_params, canvas_u8):
         gray = canvas_u8.astype(jnp.float32)  # (1, H, W)
-        rgb01 = jnp.repeat(gray[..., None], 3, axis=-1) / 255.0
-        maps = engine.craft.apply(craft_params, normalize_image(rgb01))
+        if getattr(engine, "_fold", False):
+            maps = engine.craft_infer.apply(craft_params, gray[..., None])
+        else:
+            rgb01 = jnp.repeat(gray[..., None], 3, axis=-1) / 255.0
+            maps = engine.craft_infer.apply(craft_params, normalize_image(rgb01))
         region = maps[0, ..., 0]
         affinity = maps[0, ..., 1]
         mask = (region > det.low_text) | (affinity > det.link_threshold)

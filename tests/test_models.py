@@ -379,3 +379,33 @@ class TestCharsets:
             str(tmp_path / "craft.npz"), str(tmp_path / "crnn.npz"), cfg
         )
         assert eng.charset is LATIN_EXT_CHARSET
+
+
+class TestFoldedGrayStem:
+    """models.weights.fold_gray_stem: exact folding of the CRAFT preprocessing."""
+
+    def test_folded_maps_match_rgb_path(self):
+        import jax, jax.numpy as jnp
+        import numpy as np
+        from bbocr_tpu.models.craft import CRAFT, normalize_image
+        from bbocr_tpu.models.weights import fold_gray_stem
+
+        rgb_model = CRAFT(dtype=jnp.float32)
+        gray_model = CRAFT(dtype=jnp.float32, gray_input=True)
+        params = rgb_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        folded = fold_gray_stem(params)
+
+        g = np.random.default_rng(1).uniform(0, 255, (2, 64, 96)).astype(np.float32)
+        rgb01 = jnp.repeat(jnp.asarray(g)[..., None], 3, axis=-1) / 255.0
+        ref = rgb_model.apply(params, normalize_image(rgb01))
+        got = gray_model.apply(folded, jnp.asarray(g)[..., None])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_engine_uses_folded_stem_by_default(self):
+        from bbocr_tpu.runtime.engine import OCREngine
+
+        eng = OCREngine.create(seed=0)
+        assert eng._fold
+        # folded conv kernel takes (gray, ones) input channels
+        k = eng.craft_params["params"]["VGG16BN_0"]["ConvBN_0"]["Conv_0"]["kernel"]
+        assert k.shape[2] == 2
