@@ -151,6 +151,8 @@ def fold_gray_stem(craft_params: Mapping[str, Any]) -> Dict[str, Any]:
     params = dict(craft_params)
     p = params["params"]["VGG16BN_0"]["ConvBN_0"]["Conv_0"]
     w = np.asarray(p["kernel"], np.float32)  # (3, 3, 3, out)
+    if w.shape[2] == 2:
+        return params  # already folded (idempotent: engines re-share params)
     mean = np.asarray(IMAGENET_MEAN, np.float32)
     std = np.asarray(IMAGENET_STD, np.float32)
     k_gray = (w / (255.0 * std[None, None, :, None])).sum(axis=2, keepdims=True)
