@@ -63,6 +63,12 @@ class EngineConfig:
     # (models.weights.fold_gray_stem): exact, removes three full-res
     # elementwise passes and 3x stem input bandwidth from the detect program.
     fold_gray_stem: bool = True
+    # On-device average-pool factor applied to the canvas before CRAFT for
+    # canvases at least detect_pool_min_area pixels: detection runs at
+    # 1/d resolution (1/d^2 the conv FLOPs) while rectification still
+    # samples crops from the full-resolution canvas. 1 = off.
+    detect_pool: int = 1
+    detect_pool_min_area: int = 1408 * 1024
 
 
 class OCREngine:
@@ -121,15 +127,20 @@ class OCREngine:
         self._lock = threading.Lock()
         self.timers = StageTimer()
 
-        def detect(params, gray255):
+        def detect(params, gray255, pool=1):
             """Score maps -> (mask u8, region u8) computed on device.
 
-            Takes the (B, H, W) float gray canvas in [0, 255]. The detection
-            thresholds are applied inside the program so the host downloads
-            two u8 planes per canvas instead of two f32 score maps (4x less
-            relay traffic); the region plane ships quantized for the native
-            labeler's max-score statistic.
+            Takes the (B, H, W) float gray canvas in [0, 255]. ``pool``
+            average-pools the canvas before CRAFT (detection tolerates less
+            resolution than recognition; crops are still rectified from the
+            full canvas). The detection thresholds are applied inside the
+            program so the host downloads two u8 planes per canvas instead
+            of two f32 score maps (4x less relay traffic); the region plane
+            ships quantized for the native labeler's max-score statistic.
             """
+            if pool > 1:
+                b, h, w = gray255.shape
+                gray255 = gray255.reshape(b, h // pool, pool, w // pool, pool).mean((2, 4))
             if self._fold:
                 x = gray255[..., None]
             else:
@@ -177,13 +188,16 @@ class OCREngine:
             )
 
         if mesh is None:
-            self._detect = jax.jit(detect)
+            self._detect = jax.jit(detect, static_argnums=(2,))
             self._recognize = jax.jit(recognize)
         else:
             bsh = self._bsh
             craft_sh, crnn_sh = self._param_sh
             self._detect = jax.jit(
-                detect, in_shardings=(craft_sh, bsh), out_shardings=(bsh, bsh)
+                detect,
+                static_argnums=(2,),
+                in_shardings=(craft_sh, bsh),
+                out_shardings=(bsh, bsh),
             )
             self._recognize = jax.jit(
                 recognize,
@@ -279,15 +293,21 @@ class OCREngine:
                 dev_batch = self._widen(raw)
                 canvas_batches[canvas] = dev_batch
 
+            pool = (
+                cfg.detect_pool
+                if cfg.detect_pool > 1
+                and canvas.height * canvas.width >= cfg.detect_pool_min_area
+                else 1
+            )
             with self.timers.stage("detect"):
-                masks, regions_q = self._detect(self.craft_params, dev_batch)
+                masks, regions_q = self._detect(self.craft_params, dev_batch, pool)
                 masks = np.asarray(masks)
                 regions_q = np.asarray(regions_q)
             with self.timers.stage("boxes"):
                 for slot, i in enumerate(idxs):
                     quads = extract_boxes_masked(masks[slot], regions_q[slot], cfg.detection)
-                    # map coords (half canvas) -> canvas coords
-                    per_image_quads[i] = [q * 2.0 for q in quads]
+                    # map coords (maps are canvas / (2 * pool)) -> canvas coords
+                    per_image_quads[i] = [q * (2.0 * pool) for q in quads]
 
         # --- bucket crops across all images ------------------------------
         buckets: Dict[int, List[Tuple[int, int, np.ndarray, int]]] = {}

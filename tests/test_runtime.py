@@ -302,3 +302,28 @@ class TestCliResume:
         args = argparse.Namespace(state_dir=None)
         p, o, s = _maybe_resume(args, params, None)
         assert s == 0 and p is params and o is None
+
+
+class TestDetectPool:
+    def test_pooled_detection_scales_boxes_back(self):
+        """detect_pool=2 on a qualifying canvas yields boxes in the same
+        canvas coordinate frame as unpooled detection."""
+        import numpy as np
+        from bbocr_tpu.runtime import EngineConfig, OCREngine
+        from bbocr_tpu.runtime.bucketing import CanvasSpec
+
+        cfg = EngineConfig(
+            canvases=(CanvasSpec(128, 128),),
+            width_buckets=(32, 64),
+            batch_capacities=(4, 8),
+            compute_dtype=jnp.float32,
+            detect_pool=2,
+            detect_pool_min_area=128 * 128,
+        )
+        eng = OCREngine.create(seed=0, config=cfg)
+        img = np.full((128, 128), 255, np.uint8)
+        img[40:60, 20:100] = 0
+        res = eng.readtext(img)  # untrained params: just exercise the path
+        for q, t, c in res:
+            q = np.asarray(q)
+            assert q[:, 0].max() <= 130 and q[:, 1].max() <= 130
