@@ -234,9 +234,95 @@ def train_craft(args) -> None:
     print(f"saved {os.path.join(args.out, 'craft.npz')}")
 
 
+def train_vlm(args) -> None:
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from bbocr_tpu.models.vlm import PageReader, decode_ids, greedy_generate
+    from bbocr_tpu.train import make_optimizer
+    from bbocr_tpu.train.trainer import make_vlm_train_step
+    from bbocr_tpu.train.synth import PageGenerator, SynthConfig
+    from bbocr_tpu.utils.checkpoint import save_params
+
+    h, w = args.page_h, args.page_w
+    model = PageReader()
+    params = model.init(
+        jax.random.PRNGKey(args.seed),
+        jnp.zeros((1, h, w, 1), jnp.float32),
+        jnp.zeros((1, 8), jnp.int32),
+    )
+    if args.init_from:
+        from bbocr_tpu.utils.checkpoint import load_params
+
+        params = jax.tree_util.tree_map(jnp.asarray, load_params(args.init_from))
+        print(f"initialized from {args.init_from}", flush=True)
+    tx = make_optimizer(_train_config(args))
+    opt_state = tx.init(params)
+    params, opt_state, start_step = _maybe_resume(args, params, opt_state)
+    step_fn = make_vlm_train_step(model, tx)
+
+    def make_batch(seed):
+        gen = PageGenerator(SynthConfig(), seed=seed)
+        pages, tokens, lens = gen.batch_labeled(args.batch, h, w)
+        return pages.astype(np.uint8), tokens, lens
+
+    q, stop = _prefetch(make_batch, n_threads=args.data_threads)
+
+    val_gen = PageGenerator(SynthConfig(), seed=999_999)
+    val_pages, val_tokens, val_lens = val_gen.batch_labeled(8, h, w)
+    from bbocr_tpu.models.vlm import decode_ids as _dec
+
+    val_refs = [_dec(val_tokens[i]) for i in range(8)]
+
+    def val_exact(p):
+        ids = np.asarray(
+            greedy_generate(p, model, jnp.asarray(val_pages, jnp.float32)[..., None])
+        )
+        hyps = [decode_ids(ids[i]) for i in range(len(val_refs))]
+        def fields(s):
+            try:
+                return json.loads(s)
+            except Exception:
+                return {}
+        hits = total = 0
+        for r, hyp in zip(val_refs, hyps):
+            fr, fh = fields(r), fields(hyp)
+            for k, v in fr.items():
+                total += 1
+                hits += fh.get(k) == v
+        return hits / max(total, 1), hyps[0]
+
+    t0 = time.time()
+    losses = []
+    for step in range(start_step + 1, args.steps + 1):
+        pages, tokens, lens = q.get()
+        params, opt_state, loss = step_fn(
+            params, opt_state, jnp.asarray(pages), jnp.asarray(tokens), jnp.asarray(lens)
+        )
+        losses.append(loss)
+        if step % args.log_every == 0 or step == args.steps:
+            mean_loss = float(np.mean([float(l) for l in losses]))
+            losses = []
+            acc, sample = val_exact(params)
+            rate = (step - start_step) * args.batch / (time.time() - t0)
+            print(
+                f"step {step:6d} loss {mean_loss:8.4f} val_field_acc {acc:.3f} "
+                f"pages/s {rate:7.1f} sample {sample[:70]!r}",
+                flush=True,
+            )
+        if step % args.save_every == 0 or step == args.steps:
+            os.makedirs(args.out, exist_ok=True)
+            save_params(os.path.join(args.out, "vlm.npz"), jax.device_get(params))
+            _maybe_save_state(args, step, params, opt_state)
+    stop.set()
+    print(f"saved {os.path.join(args.out, 'vlm.npz')}")
+
+
 def main():
     p = argparse.ArgumentParser(description="Train bbocr_tpu models on synthetic data")
-    p.add_argument("--component", choices=["crnn", "craft"], required=True)
+    p.add_argument("--component", choices=["crnn", "craft", "vlm"], required=True)
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--width", type=str, default="256",
@@ -264,6 +350,8 @@ def main():
     args = p.parse_args()
     if args.component == "crnn":
         train_crnn(args)
+    elif args.component == "vlm":
+        train_vlm(args)
     else:
         train_craft(args)
 

@@ -150,4 +150,10 @@ def create_llm_client(backend: str, session: Optional[requests.Session] = None) 
         return OpenAIClient(session)
     if backend == "gemini":
         return GeminiClient(session)
+    if backend in ("tpu", "native", "pagereader"):
+        # On-chip Donut-style page->JSON head (BASELINE config 5): no model
+        # server at all — see bbocr_tpu.llm.native_vlm.
+        from bbocr_tpu.llm.native_vlm import NativeVLMClient
+
+        return NativeVLMClient()
     raise ValueError(f"Unknown LLM backend: {backend}")

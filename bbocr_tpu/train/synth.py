@@ -494,6 +494,71 @@ class PageGenerator:
             pages[i], maps[i] = self.render(height, width)
         return pages, maps
 
+    def render_labeled(self, height: int = 256, width: int = 192):
+        """Title-page-like page + the metadata JSON it depicts.
+
+        Training pairs for the PageReader VLM head (BASELINE config 5):
+        the fields are KNOWN because this generator placed them, so the
+        target is the exact compact JSON the extractor schema expects.
+        Returns (page (H, W) float32, json_text str).
+        """
+        import json as _json
+
+        cfg = self.config
+        rng = self.rng
+        title = " ".join(rng.choice(_WORDS) for _ in range(rng.randint(1, 3))).title()
+        author = _sample_name(rng)
+        publisher = rng.choice(_PUBLISHER_PATTERNS).format(s=rng.choice(_SURNAMES))
+        year = str(rng.randint(1850, 2029))
+        meta = {"title": title, "authors": [author], "publisher": publisher, "year": year}
+        lines = [
+            (title, rng.randint(20, 34), True),
+            (rng.choice([f"by {author}", author.upper(), author]), rng.randint(12, 18), True),
+            (publisher, rng.randint(10, 15), True),
+            (rng.choice([year, f"Copyright {year}", f"© {year}"]), rng.randint(9, 13), False),
+        ]
+        if rng.random() < 0.5:
+            body = "978" + "".join(str(rng.randint(0, 9)) for _ in range(9))
+            check = (10 - sum((1 if i % 2 == 0 else 3) * int(d) for i, d in enumerate(body)) % 10) % 10
+            isbn13 = body + str(check)
+            meta["isbn_13"] = isbn13
+            lines.append((f"ISBN {isbn13}", rng.randint(9, 12), False))
+        bg = rng.randint(185, 250)
+        page = Image.new("L", (width, height), bg)
+        d = ImageDraw.Draw(page)
+        y = rng.randint(10, 30)
+        for text, size, centered in lines:
+            font = self.lines._font(size)
+            bb = d.textbbox((0, 0), text, font=font)
+            tw, th = min(bb[2] + 2, width), bb[3] + 2
+            x = max(0, (width - tw) // 2) if centered else rng.randint(4, max(5, width - tw))
+            if y + th >= height:
+                break
+            d.text((x, y), text, fill=rng.randint(0, 70), font=font)
+            y += th + rng.randint(8, 26)
+        arr = np.asarray(page, np.float32)
+        if cfg.photo_aug > 0:
+            from bbocr_tpu.train.photo_aug import photometric_crop_aug
+
+            arr = photometric_crop_aug(self.rng, arr, strength=0.5 * cfg.photo_aug)
+        noise = np.random.default_rng(rng.randint(0, 1 << 31)).normal(
+            0, cfg.noise_std, arr.shape
+        )
+        arr = np.clip(arr + noise, 0, 255).astype(np.float32)
+        return arr, _json.dumps(meta, separators=(",", ":"))
+
+    def batch_labeled(self, batch_size: int, height: int = 256, width: int = 192):
+        """(B, H, W) pages, (B, L) token ids, (B,) lengths for VLM training."""
+        from bbocr_tpu.models.vlm import MAX_JSON_LEN, encode_json
+
+        pages = np.zeros((batch_size, height, width), np.float32)
+        tokens = np.zeros((batch_size, MAX_JSON_LEN), np.int32)
+        lens = np.zeros(batch_size, np.int32)
+        for i in range(batch_size):
+            pages[i], txt = self.render_labeled(height, width)
+            tokens[i], lens[i] = encode_json(txt)
+        return pages, tokens, lens
+
 
 def _add_gaussian(canvas: np.ndarray, cx: float, cy: float, sigma: float) -> None:
     h, w = canvas.shape

@@ -175,6 +175,43 @@ def make_craft_train_step(
     )
 
 
+def vlm_loss(model, params, pages, tokens, tok_lens) -> jnp.ndarray:
+    """Next-token cross-entropy for the PageReader head (BASELINE config 5).
+
+    ``pages`` (B, H, W) uint8-ish gray in [0,255]; ``tokens`` (B, L) padded
+    BOS..EOS sequences; loss masks PAD positions.
+    """
+    logits = model.apply(params, pages.astype(jnp.float32)[..., None], tokens[:, :-1])
+    targets = tokens[:, 1:]
+    mask = (jnp.arange(targets.shape[1])[None, :] < (tok_lens - 1)[:, None]).astype(
+        jnp.float32
+    )
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
+
+
+def make_vlm_train_step(model, tx: optax.GradientTransformation, mesh: Optional[Mesh] = None):
+    def step(params, opt_state, pages, tokens, tok_lens):
+        def loss_fn(p):
+            return vlm_loss(model, p, pages, tokens, tok_lens)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, new_opt = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_opt, loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1))
+    repl = replicate_sharding(mesh)
+    bsh = batch_sharding(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(repl, repl, bsh, bsh, bsh),
+        out_shardings=(repl, repl, repl),
+        donate_argnums=(0, 1),
+    )
+
+
 def make_joint_train_step(
     craft: CRAFT,
     crnn: CRNN,

@@ -409,3 +409,74 @@ class TestFoldedGrayStem:
         # folded conv kernel takes (gray, ones) input channels
         k = eng.craft_params["params"]["VGG16BN_0"]["ConvBN_0"]["Conv_0"]["kernel"]
         assert k.shape[2] == 2
+
+
+class TestPageReaderVLM:
+    """BASELINE config 5: on-chip page->JSON head."""
+
+    def _tiny(self):
+        from bbocr_tpu.models.vlm import PageReader
+
+        return PageReader(dim=32, enc_depth=1, dec_depth=1, heads=2, max_len=24)
+
+    def test_token_roundtrip(self):
+        from bbocr_tpu.models.vlm import decode_ids, encode_json
+
+        s = '{"title":"Red Men","year":"1915"}'
+        ids, n = encode_json(s)
+        assert decode_ids(ids) == s
+
+    def test_forward_and_generate_shapes(self):
+        import jax, jax.numpy as jnp
+        import numpy as np
+        from bbocr_tpu.models.vlm import EOS_ID, greedy_generate
+
+        model = self._tiny()
+        page = jnp.zeros((2, 64, 48, 1), jnp.float32)
+        toks = jnp.zeros((2, 8), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), page, toks)
+        logits = model.apply(params, page, toks)
+        assert logits.shape == (2, 8, model.vocab)
+        ids = np.asarray(greedy_generate(params, model, page, max_len=24))
+        assert ids.shape == (2, 24)
+
+    def test_labeled_pages_are_valid_json(self):
+        import json
+        from bbocr_tpu.train.synth import PageGenerator
+
+        gen = PageGenerator(seed=3)
+        page, txt = gen.render_labeled()
+        meta = json.loads(txt)
+        assert meta["title"] and meta["authors"] and meta["year"]
+        assert page.shape == (256, 192)
+
+    def test_vlm_loss_decreases(self):
+        import jax, jax.numpy as jnp
+        import numpy as np
+        from bbocr_tpu.train import TrainConfig, make_optimizer
+        from bbocr_tpu.train.trainer import make_vlm_train_step
+        from bbocr_tpu.train.synth import PageGenerator
+
+        model = self._tiny()
+        gen = PageGenerator(seed=1)
+        pages, tokens, lens = gen.batch_labeled(2, 64, 48)
+        tokens = tokens[:, :24]
+        lens = np.minimum(lens, 24)
+        page = jnp.asarray(pages, jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), page[..., None], jnp.asarray(tokens))
+        tx = make_optimizer(TrainConfig(learning_rate=3e-3))
+        opt = tx.init(params)
+        step = make_vlm_train_step(model, tx)
+        first = None
+        for _ in range(8):
+            params, opt, loss = step(
+                params, opt, page, jnp.asarray(tokens), jnp.asarray(lens)
+            )
+            first = first if first is not None else float(loss)
+        assert float(loss) < first
+
+    def test_native_backend_registered(self):
+        from bbocr_tpu.llm.client import create_llm_client
+        from bbocr_tpu.llm.native_vlm import NativeVLMClient
+
+        assert isinstance(create_llm_client("tpu"), NativeVLMClient)
