@@ -75,34 +75,8 @@ def _load_gray(path: str) -> np.ndarray:
     return np.asarray(Image.open(path).convert("L"), np.float32)
 
 
-def rotation_score(results) -> float:
-    """How much *confident* text a readtext result list carries.
-
-    Tuned offline against per-rotation dumps of the real corpus: summing
-    len*conf over ALL results lets hundreds of low-confidence garbage
-    fragments (texture false-positives) outvote a handful of clean reads
-    at the true orientation. Gating on conf > 0.4 and len > 2 picked the
-    best rotation on 12/14 dump images vs 9/14 ungated (mean recall
-    regret 0.025 vs 0.067).
-    """
-    return sum(len(t) * c for _, t, c in results if c > 0.4 and len(t.strip()) > 2)
-
-
-def read_with_rotations(engine, img: np.ndarray, rotations=(0, 1, 2, 3)) -> Tuple[List, int]:
-    """OCR under each np.rot90 k, keep the best by rotation_score.
-
-    Orientation is unknown for photos shot in landscape with the book
-    sideways (most of the reference's sets); EasyOCR has the same blind
-    spot. Returns (results, chosen_k).
-    """
-    best, best_score, best_k = [], -1.0, 0
-    for k in rotations:
-        rot = np.rot90(img, k) if k else img
-        res = engine.readtext(np.ascontiguousarray(rot))
-        score = rotation_score(res)
-        if score > best_score:
-            best, best_score, best_k = res, score, k
-    return best, best_k
+# Shared with the serving extractor (auto_rotate): see runtime/orient.py.
+from bbocr_tpu.runtime.orient import read_with_rotations, rotation_score  # noqa: F401,E402
 
 
 def evaluate_real(

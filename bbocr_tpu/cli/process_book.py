@@ -89,6 +89,9 @@ def main():
     p.add_argument("--no-warm-model", action="store_true")
     p.add_argument("--ocr-indices", type=int, nargs="+")
     p.add_argument("--output-dir", default="output")
+    p.add_argument("--auto-rotate", action="store_true",
+                   help="re-read each photo at 4 rotations, keep the most "
+                        "confident (for sideways camera photos)")
     args = p.parse_args()
 
     if args.model == "list":
@@ -119,6 +122,7 @@ def main():
             crop_margin=args.crop_margin,
             edge_crop_percent=args.edge_crop,
             warm_model=not args.no_warm_model,
+            auto_rotate=args.auto_rotate,
         )
     except Exception as e:
         print(f"Error: {e}", file=sys.stderr)

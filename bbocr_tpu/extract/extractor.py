@@ -66,7 +66,12 @@ class BookMetadataExtractor:
         engine: Optional[Any] = None,
         ollama_base_url: str = "http://127.0.0.1:11434",
         isbn_reread: bool = True,
+        auto_rotate: bool = False,
     ):
+        """``auto_rotate``: re-read each photo at the four right-angle
+        rotations and keep the most confidently read one (the reference's
+        committed photo sets are mostly shot sideways; costs ~4x OCR time,
+        so off by default for upright webcam captures)."""
         self.model = model
         self.ocr_engine = (ocr_engine or "tpu").lower()
         self.use_preprocessing = use_preprocessing
@@ -77,6 +82,7 @@ class BookMetadataExtractor:
         self.llm_backend = (llm_backend or "ollama").lower()
         self.max_ocr_chars_per_image = int(max(1, max_ocr_chars_per_image))
         self.isbn_reread = bool(isbn_reread)
+        self.auto_rotate = bool(auto_rotate)
         self.prompt_template = prompt_template if prompt_template is not None else PROMPT_TEMPLATE
         self.ollama_base_url = ollama_base_url
         self._trace_sink: Optional[TraceSink] = None
@@ -232,7 +238,12 @@ class BookMetadataExtractor:
             if hasattr(eng, "readtext"):
                 from bbocr_tpu.decode.boxes import group_lines
 
-                res = eng.readtext(image)
+                if self.auto_rotate:
+                    from bbocr_tpu.runtime.orient import read_with_rotations
+
+                    res, _k = read_with_rotations(eng, image)
+                else:
+                    res = eng.readtext(image)
                 lines = []
                 if res:
                     grouped = group_lines([r[0] for r in res])

