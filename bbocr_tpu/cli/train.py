@@ -106,6 +106,28 @@ def train_crnn(args) -> None:
     from bbocr_tpu.models.charset import CHARSETS
 
     cfg = SynthConfig(charset=CHARSETS[args.charset])
+    if args.charset == "cjk":
+        # Refuse to synthesize tofu: the generator renders with the system
+        # fonts, and a head trained on missing-glyph boxes is worse than no
+        # head. (This image ships DejaVu only — no CJK coverage.)
+        from PIL import ImageFont
+
+        from bbocr_tpu.train.synth import _find_fonts
+
+        def covers(path, ch="カ"):  # katakana KA
+            try:
+                f = ImageFont.truetype(path, 24)
+                missing = f.getmask("￿").getbbox()
+                got = f.getmask(ch).getbbox()
+                return got is not None and got != missing
+            except Exception:
+                return False
+
+        if not any(covers(p) for p in _find_fonts()):
+            raise SystemExit(
+                "--charset cjk: no installed font covers CJK glyphs; install "
+                "one (e.g. Noto Sans CJK) before training this head"
+            )
     crnn = CRNN(num_classes=cfg.charset.num_classes)
     params = crnn.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 32, 64, 1), jnp.float32))
     if args.init_from:
@@ -340,8 +362,9 @@ def main():
     p.add_argument("--schedule", choices=["constant", "cosine"], default="constant",
                    help="LR schedule (cosine = warmup then cosine decay over --steps)")
     p.add_argument("--warmup", type=int, default=0, help="linear warmup steps")
-    p.add_argument("--charset", choices=["en", "latin_ext"], default="en",
-                   help="recognizer head charset (latin_ext = BASELINE config 4)")
+    p.add_argument("--charset", choices=["en", "latin_ext", "cjk"], default="en",
+                   help="recognizer head charset (latin_ext/cjk = BASELINE config 4; "
+                        "cjk requires fonts with CJK coverage)")
     p.add_argument("--neg-ratio", type=float, default=3.0,
                    help="craft loss: weight on background (false-positive) MSE")
     p.add_argument("--state-dir", type=str, default=None,

@@ -75,7 +75,25 @@ LATIN_EXT_CHARS = EN_CHARS + (
 
 LATIN_EXT_CHARSET = Charset(LATIN_EXT_CHARS)
 
-CHARSETS = {"en": EN_CHARSET, "latin_ext": LATIN_EXT_CHARSET}
+# CJK head scaffold (BASELINE config 4 "latin + CJK"): full kana, CJK
+# punctuation/fullwidth forms, and the first two CJK Unified Ideograph
+# columns as a bring-up subset. The head/codec/bucketing mechanics are
+# exercised in tests at this vocabulary size; TRAINING it needs fonts with
+# CJK coverage, which this image does not ship (DejaVu only) — the train
+# CLI verifies glyph coverage and refuses to synthesize tofu.
+_KANA = "".join(chr(c) for c in range(0x3041, 0x3097)) + "".join(
+    chr(c) for c in range(0x30A1, 0x30FB)
+)
+_CJK_PUNCT = "、。〈〉《》「」『』【】〜・ー"
+_IDEOGRAPHS = "".join(chr(c) for c in range(0x4E00, 0x5000))
+CJK_CHARS = EN_CHARS + _KANA + _CJK_PUNCT + _IDEOGRAPHS
+CJK_CHARSET = Charset(CJK_CHARS)
+
+CHARSETS = {
+    "en": EN_CHARSET,
+    "latin_ext": LATIN_EXT_CHARSET,
+    "cjk": CJK_CHARSET,
+}
 
 
 def charset_for_num_classes(num_classes: int) -> Charset:

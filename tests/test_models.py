@@ -480,3 +480,32 @@ class TestPageReaderVLM:
         from bbocr_tpu.llm.native_vlm import NativeVLMClient
 
         assert isinstance(create_llm_client("tpu"), NativeVLMClient)
+
+
+class TestCJKHead:
+    """BASELINE config 4: the recognizer mechanics at CJK vocabulary size."""
+
+    def test_charset_roundtrip_and_size(self):
+        from bbocr_tpu.models.charset import CJK_CHARSET, charset_for_num_classes
+
+        assert CJK_CHARSET.num_classes > 700
+        s = "カタログ、中乙。Price 1200"
+        ids = CJK_CHARSET.encode(s)
+        assert CJK_CHARSET.decode_ids(ids) == s
+        assert charset_for_num_classes(CJK_CHARSET.num_classes) is CJK_CHARSET
+
+    def test_crnn_head_and_decode_at_cjk_width(self):
+        import jax, jax.numpy as jnp
+        import numpy as np
+        from bbocr_tpu.decode import ctc_greedy_decode
+        from bbocr_tpu.models import CRNN
+        from bbocr_tpu.models.charset import CJK_CHARSET
+
+        crnn = CRNN(num_classes=CJK_CHARSET.num_classes, dtype=jnp.float32)
+        params = crnn.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 64, 1)))
+        logits = crnn.apply(params, jnp.zeros((2, 32, 64, 1)))
+        assert logits.shape[-1] == CJK_CHARSET.num_classes
+        ids, lens, conf = ctc_greedy_decode(
+            logits, jnp.full((2,), logits.shape[1], jnp.int32)
+        )
+        assert np.asarray(ids).shape[0] == 2
