@@ -201,28 +201,32 @@ def art_background(rng: random.Random, h: int, w: int) -> np.ndarray:
     """
     from PIL import ImageDraw, ImageFilter
 
+    # Compose at half resolution (the result is blurred art anyway) — this
+    # runs inside the training data loop, where full-res PIL work measurably
+    # starves the chip.
+    hh, ww = max(16, h // 2), max(16, w // 2)
     np_rng = np.random.default_rng(rng.randint(0, 1 << 31))
-    img = np.full((h, w), rng.uniform(40, 200), np.float32)
-    for scale in (4, 8, 16):
-        small = np_rng.uniform(0, 255, (max(2, h // scale), max(2, w // scale)))
+    img = np.full((hh, ww), rng.uniform(40, 200), np.float32)
+    for scale in (2, 4, 8):
+        small = np_rng.uniform(0, 255, (max(2, hh // scale), max(2, ww // scale)))
         up = np.asarray(
-            Image.fromarray(small.astype(np.uint8)).resize((w, h), Image.BILINEAR),
+            Image.fromarray(small.astype(np.uint8)).resize((ww, hh), Image.BILINEAR),
             np.float32,
         )
         img = img + (up - 128.0) * rng.uniform(0.15, 0.5)
     pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
     d = ImageDraw.Draw(pil)
     for _ in range(rng.randint(2, 8)):
-        x0, y0 = rng.randint(-w // 4, w), rng.randint(-h // 4, h)
-        x1 = x0 + rng.randint(8, max(9, w // 2))
-        y1 = y0 + rng.randint(8, max(9, h // 2))
+        x0, y0 = rng.randint(-ww // 4, ww), rng.randint(-hh // 4, hh)
+        x1 = x0 + rng.randint(4, max(5, ww // 2))
+        y1 = y0 + rng.randint(4, max(5, hh // 2))
         shade = rng.randint(0, 255)
         if rng.random() < 0.5:
             d.ellipse([x0, y0, x1, y1], fill=shade)
         else:
             d.rectangle([x0, y0, x1, y1], fill=shade)
-    pil = pil.filter(ImageFilter.GaussianBlur(rng.uniform(0.6, 2.5)))
-    return np.asarray(pil, np.float32)
+    pil = pil.filter(ImageFilter.GaussianBlur(rng.uniform(0.4, 1.4)))
+    return np.asarray(pil.resize((w, h), Image.BILINEAR), np.float32)
 
 
 def clutter_background(rng: random.Random, h: int, w: int) -> np.ndarray:

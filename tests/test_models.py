@@ -331,7 +331,7 @@ class TestCharsets:
         assert charset_for_num_classes(LATIN_EXT_CHARSET.num_classes) is LATIN_EXT_CHARSET
         with pytest.raises(ValueError):
             charset_for_num_classes(12345)
-        assert set(CHARSETS) == {"en", "latin_ext"}
+        assert set(CHARSETS) == {"en", "latin_ext", "cjk"}
 
     def test_latin_ext_roundtrip(self):
         from bbocr_tpu.models.charset import LATIN_EXT_CHARSET
