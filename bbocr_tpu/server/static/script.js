@@ -347,6 +347,7 @@ const MODEL_LISTS = {
   ollama: ["gemma3:4b", "gemma3:12b", "llava:7b", "llava:13b", "moondream"],
   gemini: ["gemini-2.5-flash", "gemini-2.5-pro", "gemini-2.0-flash"],
   openai: ["gpt-4o-mini", "gpt-4o"],
+  tpu: ["checkpoints/vlm.npz"],
   heuristic: [],
 };
 

@@ -207,3 +207,31 @@ class TestExtractorPipeline:
 
 def meta_without_private(meta):
     return {k: v for k, v in meta.items() if not k.startswith("_")}
+
+
+class TestNativeVLMBackend:
+    """llm_backend='tpu' routes through NativeVLMClient (BASELINE config 5)."""
+
+    def test_extractor_parses_pagereader_output(self, tmp_path, monkeypatch):
+        import numpy as np
+        from PIL import Image
+
+        from bbocr_tpu.extract.extractor import BookMetadataExtractor
+        from bbocr_tpu.llm import native_vlm
+
+        monkeypatch.setattr(
+            native_vlm.NativeVLMClient,
+            "generate",
+            lambda self, model, prompt, images, timeout_seconds=300.0:
+                '{"title":"Red Men","authors":["M. Tuttle"],"publisher":null,'
+                '"year":"1915","isbn_10":null,"isbn_13":null,"edition":null,'
+                '"binding":null}',
+        )
+        p = tmp_path / "page.png"
+        Image.fromarray(np.full((64, 48), 255, np.uint8)).save(p)
+        ext = BookMetadataExtractor(
+            llm_backend="tpu", ocr_engine="tesseract", warm_model=False
+        )
+        meta = ext.extract_metadata_from_images([str(p)], ocr_image_indices=[])
+        assert meta["title"] == "Red Men"
+        assert meta["year"] == "1915"
