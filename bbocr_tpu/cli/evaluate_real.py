@@ -48,6 +48,43 @@ def _words(text: str, min_len: int = 3) -> List[str]:
     return [w for w in _WORD_RE.findall(text.upper()) if len(w) >= min_len]
 
 
+def substring_cer(phrase: str, text: str) -> float:
+    """CER of ``phrase`` against its best-matching substring of ``text``.
+
+    Standard approximate-substring edit distance: DP over the phrase with
+    free start position in the text (first row zeros), min over end
+    positions, divided by phrase length. Both OCR outputs are unordered
+    bags of lines, so corpus CER on the concatenation would be dominated by
+    ordering; per-phrase best-substring alignment is order-free and is
+    computed IDENTICALLY for the TPU engine and the recorded EasyOCR text,
+    which is what makes the parity comparison meaningful.
+    """
+    p = re.sub(r"\s+", " ", phrase.upper().strip())
+    t = re.sub(r"\s+", " ", text.upper().strip())
+    if not p:
+        return 0.0
+    if not t:
+        return 1.0
+    prev = np.zeros(len(t) + 1, np.int32)
+    for i, pc in enumerate(p, 1):
+        cur = np.empty(len(t) + 1, np.int32)
+        cur[0] = i
+        for j, tc in enumerate(t, 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (pc != tc),
+            )
+        prev = cur
+    return float(prev.min()) / len(p)
+
+
+def phrase_cer(phrases: Sequence[str], ocr_text: str) -> Optional[float]:
+    """Mean per-phrase best-substring CER (lower is better)."""
+    vals = [substring_cer(p, ocr_text) for p in phrases if p.strip()]
+    return round(sum(vals) / len(vals), 3) if vals else None
+
+
 def word_recall(phrases: Sequence[str], ocr_text: str) -> Dict[str, Any]:
     """Fraction of ground-truth phrase words present in the OCR text.
 
@@ -133,6 +170,7 @@ def evaluate_real(
                 lines_all.extend(" ".join(res[i][1] for i in line) for line in lines)
         ocr_text = " ".join(texts)
         recall = word_recall(entry.get("phrases", []), ocr_text)
+        cer = phrase_cer(entry.get("phrases", []), ocr_text)
 
         pred = heuristic_extract("\n".join(lines_all) if lines_all else ocr_text)
         fields: Dict[str, Any] = {}
@@ -154,15 +192,18 @@ def evaluate_real(
             "images": len(entry["images"]),
             "rotations": rotations,
             "tpu_word_recall": recall,
+            "tpu_phrase_cer": cer,
             "tpu_text_chars": len(ocr_text),
             "fields": fields,
             "ocr_text": ocr_text,
         }
         ref_key = entry.get("easyocr_reference_key")
         if ref_key and ref_key in easy:
-            er = word_recall(entry.get("phrases", []), easy[ref_key]["easyocr_text"])
+            easy_text = easy[ref_key]["easyocr_text"]
+            er = word_recall(entry.get("phrases", []), easy_text)
             row["easyocr_word_recall"] = er
-            row["easyocr_text_chars"] = len(easy[ref_key]["easyocr_text"])
+            row["easyocr_phrase_cer"] = phrase_cer(entry.get("phrases", []), easy_text)
+            row["easyocr_text_chars"] = len(easy_text)
             row["easyocr_seconds"] = easy[ref_key].get("easyocr_seconds")
         per_book.append(row)
 
@@ -174,6 +215,8 @@ def evaluate_real(
     recs = [b["tpu_word_recall"]["recall"] for b in per_book
             if b["tpu_word_recall"]["recall"] is not None]
     summary["tpu_mean_word_recall"] = round(sum(recs) / len(recs), 3) if recs else None
+    cers = [b["tpu_phrase_cer"] for b in per_book if b["tpu_phrase_cer"] is not None]
+    summary["tpu_mean_phrase_cer"] = round(sum(cers) / len(cers), 3) if cers else None
     pairs = [
         (b["tpu_word_recall"]["recall"], b["easyocr_word_recall"]["recall"])
         for b in per_book if "easyocr_word_recall" in b
@@ -182,6 +225,14 @@ def evaluate_real(
         summary["paired_covers"] = len(pairs)
         summary["tpu_mean_word_recall_on_paired"] = round(sum(p[0] for p in pairs) / len(pairs), 3)
         summary["easyocr_mean_word_recall_on_paired"] = round(sum(p[1] for p in pairs) / len(pairs), 3)
+        cpairs = [
+            (b["tpu_phrase_cer"], b["easyocr_phrase_cer"])
+            for b in per_book
+            if b.get("easyocr_phrase_cer") is not None and b["tpu_phrase_cer"] is not None
+        ]
+        if cpairs:
+            summary["tpu_mean_phrase_cer_on_paired"] = round(sum(p[0] for p in cpairs) / len(cpairs), 3)
+            summary["easyocr_mean_phrase_cer_on_paired"] = round(sum(p[1] for p in cpairs) / len(cpairs), 3)
     summary["per_field"] = {}
     for field in FIELDS:
         rows = [b["fields"][field] for b in per_book if field in b["fields"]]

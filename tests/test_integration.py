@@ -216,3 +216,13 @@ class TestRealEvalUtils:
         assert rotation_score(clean) > rotation_score(garbage)
         # short or low-confidence fragments contribute nothing
         assert rotation_score([(None, "ab", 0.9), (None, "xyz", 0.2)]) == 0.0
+
+    def test_substring_cer(self):
+        from bbocr_tpu.cli.evaluate_real import phrase_cer, substring_cer
+
+        assert substring_cer("FRONTIER", "junk lBeyond the Frontier junk") == 0.0
+        assert substring_cer("FRONTIER", "lBeyond the Froncc") > 0.2
+        assert substring_cer("ABC", "") == 1.0
+        assert phrase_cer([], "x") is None
+        # identical inputs -> identical scores for both pipelines
+        assert phrase_cer(["Copyright 1915"], "Copyright 1915") == 0.0
