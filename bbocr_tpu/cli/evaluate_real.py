@@ -124,8 +124,9 @@ def evaluate_real(
     auto_rotate: bool = True,
     limit: Optional[int] = None,
     books_filter: Optional[Sequence[str]] = None,
+    detect_pool: int = 1,
 ) -> Dict[str, Any]:
-    from bbocr_tpu.runtime.engine import OCREngine
+    from bbocr_tpu.runtime.engine import EngineConfig, OCREngine
     from bbocr_tpu.decode.boxes import group_lines
 
     with open(os.path.join(real_dir, "ground_truth.json")) as f:
@@ -136,7 +137,8 @@ def evaluate_real(
         with open(easy_path) as f:
             easy = json.load(f)
 
-    engine = OCREngine.from_checkpoint(craft, crnn)
+    config = EngineConfig(detect_pool=detect_pool) if detect_pool > 1 else EngineConfig()
+    engine = OCREngine.from_checkpoint(craft, crnn, config=config)
 
     book_keys = sorted(gt.keys())
     if books_filter:
@@ -165,9 +167,13 @@ def evaluate_real(
                 res, k = engine.readtext(img), 0
             rotations.append(k)
             texts.append(" ".join(t for _, t, _ in res))
-            if res:
-                lines = group_lines([r[0] for r in res])
-                lines_all.extend(" ".join(res[i][1] for i in line) for line in lines)
+            # Structurer input: confident results only — texture false
+            # positives ('A', 'i', '77' at conf<0.3) otherwise drown the
+            # prominent-line heuristics. Recall/CER still score ALL text.
+            strong = [r for r in res if r[2] >= 0.3 and len(r[1].strip()) >= 2]
+            if strong:
+                lines = group_lines([r[0] for r in strong])
+                lines_all.extend(" ".join(strong[i][1] for i in line) for line in lines)
         ocr_text = " ".join(texts)
         recall = word_recall(entry.get("phrases", []), ocr_text)
         cer = phrase_cer(entry.get("phrases", []), ocr_text)
@@ -256,6 +262,8 @@ def main():
     p.add_argument("--limit", type=int)
     p.add_argument("--books", nargs="*", help="restrict to these book keys")
     p.add_argument("--out", default=None)
+    p.add_argument("--detect-pool", type=int, default=1,
+                   help="on-device pooling before CRAFT on hi-res canvases")
     args = p.parse_args()
     summary = evaluate_real(
         args.real_dir,
@@ -264,6 +272,7 @@ def main():
         auto_rotate=not args.no_auto_rotate,
         limit=args.limit,
         books_filter=args.books,
+        detect_pool=args.detect_pool,
     )
     report = {k: v for k, v in summary.items() if k != "details"}
     print(json.dumps(report, indent=2))

@@ -245,9 +245,14 @@ class BookMetadataExtractor:
                 else:
                     res = eng.readtext(image)
                 lines = []
-                if res:
-                    grouped = group_lines([r[0] for r in res])
-                    lines = [" ".join(res[i][1] for i in line) for line in grouped]
+                # Low-confidence fragments are mostly texture false
+                # positives; they waste the 330-char VLM context budget and
+                # drown the prominent-line heuristics. Fall back to the raw
+                # results when nothing clears the bar.
+                strong = [r for r in res if r[2] >= 0.3 and len(r[1].strip()) >= 2] or res
+                if strong:
+                    grouped = group_lines([r[0] for r in strong])
+                    lines = [" ".join(strong[i][1] for i in line) for line in grouped]
                 # Digit-biased high-res ISBN re-read (BASELINE config 3):
                 # a checksum-valid ISBN is appended as its own line so the
                 # heuristic structurer and the VLM context both see it.

@@ -399,6 +399,11 @@ class PageGenerator:
                     page[by : by + bh, bx : bx + bw] = ink
 
         y = ri(4, 24 * s + 4)
+        # Pure hard-negative pages: art/texture with NO text teaches the
+        # detector to stay silent on cover illustrations and cloth grain
+        # (the main false-positive source on the real corpus).
+        if self.rng.random() < (0.15 if art_cover else 0.04):
+            sizes = []
         pil_page = Image.fromarray(np.clip(page, 0, 255).astype(np.uint8))
         draw = ImageDraw.Draw(pil_page)
         page_dirty = False
