@@ -153,6 +153,7 @@ def evaluate_real(
         texts: List[str] = []
         lines_all: List[str] = []
         rotations: List[int] = []
+        results_dump: List[Tuple[str, float]] = []
         t_book = time.time()
         for img_name, sideways in zip(entry["images"], entry.get("sideways", [])):
             # photos/<id> images live in that directory; covers/<name> images
@@ -167,6 +168,7 @@ def evaluate_real(
                 res, k = engine.readtext(img), 0
             rotations.append(k)
             texts.append(" ".join(t for _, t, _ in res))
+            results_dump.extend((t, round(float(c), 3)) for _, t, c in res)
             # Structurer input: confident results only — texture false
             # positives ('A', 'i', '77' at conf<0.3) otherwise drown the
             # prominent-line heuristics. Recall/CER still score ALL text.
@@ -202,6 +204,7 @@ def evaluate_real(
             "tpu_text_chars": len(ocr_text),
             "fields": fields,
             "ocr_text": ocr_text,
+            "results": results_dump,
         }
         ref_key = entry.get("easyocr_reference_key")
         if ref_key and ref_key in easy:
