@@ -35,7 +35,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from bbocr_tpu.cli.evaluate import FUZZY_THRESHOLD, fuzzy_ratio, _norm
-from bbocr_tpu.extract.heuristics import heuristic_extract
+from bbocr_tpu.extract.heuristics import heuristic_extract, heuristic_extract_lines
 
 REAL_DIR_DEFAULT = os.path.join("data", "real")
 FIELDS = ("title", "authors", "publisher", "year", "isbn_10", "isbn_13")
@@ -151,7 +151,7 @@ def evaluate_real(
     for key in book_keys:
         entry = gt[key]
         texts: List[str] = []
-        lines_all: List[str] = []
+        lines_all: List[Tuple[str, float, float]] = []
         rotations: List[int] = []
         results_dump: List[Tuple[str, float]] = []
         t_book = time.time()
@@ -169,18 +169,31 @@ def evaluate_real(
             rotations.append(k)
             texts.append(" ".join(t for _, t, _ in res))
             results_dump.extend((t, round(float(c), 3)) for _, t, c in res)
-            # Structurer input: confident results only — texture false
-            # positives ('A', 'i', '77' at conf<0.3) otherwise drown the
-            # prominent-line heuristics. Recall/CER still score ALL text.
-            strong = [r for r in res if r[2] >= 0.3 and len(r[1].strip()) >= 2]
-            if strong:
-                lines = group_lines([r[0] for r in strong])
-                lines_all.extend(" ".join(strong[i][1] for i in line) for line in lines)
+            # Structurer input: visual lines with prominence (mean conf +
+            # relative text height). Pattern fields scan everything;
+            # title/author selection weighs confident big text.
+            if res:
+                groups = group_lines([r[0] for r in res])
+                heights = []
+                for line in groups:
+                    hs = [
+                        float(np.linalg.norm(np.asarray(res[i][0])[3] - np.asarray(res[i][0])[0]))
+                        for i in line
+                    ]
+                    heights.append(sum(hs) / len(hs))
+                h_max = max(heights) if heights else 1.0
+                for line, h in zip(groups, heights):
+                    txt = " ".join(res[i][1] for i in line)
+                    conf = sum(float(res[i][2]) for i in line) / len(line)
+                    lines_all.append((txt, conf, h / max(h_max, 1e-6)))
         ocr_text = " ".join(texts)
         recall = word_recall(entry.get("phrases", []), ocr_text)
         cer = phrase_cer(entry.get("phrases", []), ocr_text)
 
-        pred = heuristic_extract("\n".join(lines_all) if lines_all else ocr_text)
+        if lines_all:
+            pred = heuristic_extract_lines(lines_all)
+        else:
+            pred = heuristic_extract(ocr_text)
         fields: Dict[str, Any] = {}
         for field in FIELDS:
             t = _norm(entry.get(field))

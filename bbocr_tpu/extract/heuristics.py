@@ -14,7 +14,7 @@ budget"); the VLM remains the async enrichment path.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 from bbocr_tpu.extract.schema import empty_metadata
 
@@ -28,7 +28,8 @@ _YEAR_RE = re.compile(r"\b((?:1[5-9]|20)\d{2})\b")
 _PRICE_RE = re.compile(r"(?:\$|USD|£|GBP|€|EUR)\s*(\d+(?:[.,]\d{1,2})?)|(\d+(?:[.,]\d{1,2})?)\s*(?:\$|USD|£|GBP|€|EUR)")
 _CURRENCY_RE = re.compile(r"(\$|USD|£|GBP|€|EUR)")
 _PUBLISHER_SUFFIX_RE = re.compile(
-    r"\b([A-Z][A-Za-z&.' -]{2,40}?(?:Press|Publishing|Publishers|Publications|Books|House|Editions))\b"
+    r"\b([A-Z][A-Za-z&.' -]{2,40}?"
+    r"(?i:Press|Publishing|Publishers|Publications|Books|House|Editions|Company))\b"
 )
 # "by <Name Name>": same line only, and not the imprint's "published by"
 _AUTHOR_BY_RE = re.compile(
@@ -182,8 +183,9 @@ def heuristic_extract(text: str) -> Dict[str, Any]:
 
 
 _NON_AUTHOR_RE = re.compile(
-    r"press|publish|books|house|editions|copyright|rights|reserved|printed"
-    r"|edition|impression|isbn|chapter|volume|first|all\b",
+    r"\b(press|publish(?:ed|ers?|ing)?|books|house|editions|copyright"
+    r"|rights|reserved|printed|edition|impression|isbn|chapter|volume"
+    r"|first|all|company|co|inc|ltd)\b",
     re.IGNORECASE,
 )
 
@@ -197,3 +199,75 @@ def _plausible_author(line: str) -> bool:
         return False
     words = line.split()
     return 1 <= len(words) <= 5
+
+
+_NON_TITLE_RE = re.compile(
+    r"\b(company|press|publishers?|publishing|inc|ltd|copyright|reserved"
+    r"|printed|isbn|edition|impression|authorized|york|london|boston"
+    r"|chicago|authou?r|volume)\b",
+    re.IGNORECASE,
+)
+
+
+def _title_plausible(text: str) -> bool:
+    t = text.strip()
+    if len(t) < 4 or _NON_TITLE_RE.search(t):
+        return False
+    alpha = sum(ch.isalpha() for ch in t)
+    if alpha / max(len(t), 1) < 0.55:
+        return False
+    # at least one real-word-ish token (3+ letters incl. a vowel)
+    return any(
+        len(w) >= 3 and any(v in w.lower() for v in "aeiouy")
+        for w in re.findall(r"[A-Za-z]+", t)
+    )
+
+
+def heuristic_extract_lines(lines: List[Tuple[str, float, float]]) -> Dict[str, Any]:
+    """Structure metadata from OCR *lines with prominence*.
+
+    ``lines``: (text, mean_confidence, relative_height) per visual line,
+    where relative_height is the line's text height normalized by the
+    tallest line of the same image (title text is the big text).
+
+    Pattern-driven fields (ISBN/year/publisher/price/edition) scan the FULL
+    text — regexes are robust to junk, and confidence-gating them loses
+    correct mid-confidence reads (measured: year exact 0.267 -> 0.133 on
+    the real corpus under a blunt conf >= 0.3 gate). Title and author come
+    from prominence scoring over confident lines instead of "first line",
+    which noise-ordered photo output breaks.
+    """
+    full = "\n".join(t for t, _, _ in lines)
+    meta = heuristic_extract(full)
+
+    cands = [
+        (t.strip(), c, h)
+        for t, c, h in lines
+        if c >= 0.3 and len(t.strip()) >= 3
+    ]
+    scored = sorted(cands, key=lambda x: -(x[1] * max(x[2], 0.05)))
+    title = next((t for t, c, h in scored if _title_plausible(t)), None)
+    if title:
+        meta["title"] = title
+
+    # an explicit "by <Name>" line outranks positional/base guesses
+    by_line = next(
+        (
+            re.sub(r"(?i)^by\s+", "", t).strip()
+            for t, c, h in scored
+            if re.match(r"(?i)^by\s+\S", t)
+        ),
+        None,
+    )
+    if by_line and _plausible_author(by_line):
+        meta["authors"] = [by_line]
+    elif not meta["authors"]:
+        skip = {title} if title else set()
+        for t, c, h in scored:
+            if t in skip:
+                continue
+            cand = re.sub(r"(?i)^by\s+", "", t).strip()
+            if _plausible_author(cand):
+                meta["authors"] = [cand]
+                break
+    return meta

@@ -235,3 +235,33 @@ class TestNativeVLMBackend:
         meta = ext.extract_metadata_from_images([str(p)], ocr_image_indices=[])
         assert meta["title"] == "Red Men"
         assert meta["year"] == "1915"
+
+
+class TestLineProminenceHeuristics:
+    def test_title_is_big_confident_text_not_first_junk(self):
+        from bbocr_tpu.extract.heuristics import heuristic_extract_lines
+
+        lines = [
+            ("2-- yrk WEE", 0.1, 0.4),            # texture junk (low conf)
+            ("A. L. BURT COMPANY", 0.6, 0.4),      # imprint (rejected as title)
+            ("Beyond the Frontier", 0.5, 1.0),     # big confident text
+            ("by RANDALL PARRISH", 0.45, 0.5),
+            ("Copyright 1915", 0.7, 0.2),
+        ]
+        meta = heuristic_extract_lines(lines)
+        assert meta["title"] == "Beyond the Frontier"
+        assert meta["authors"] == ["RANDALL PARRISH"]
+        assert meta["year"] == "1915"
+        assert meta["publisher"] == "A. L. BURT COMPANY"
+
+    def test_pattern_fields_scan_low_confidence_lines(self):
+        from bbocr_tpu.extract.heuristics import heuristic_extract_lines
+
+        # the copyright line read at conf 0.2 must still provide the year
+        lines = [
+            ("The Texas Cookbook", 0.6, 1.0),
+            ("COPYRIGHT 1965 BY HOUGHTON, MIFFLIN & COMPANY", 0.2, 0.3),
+        ]
+        meta = heuristic_extract_lines(lines)
+        assert meta["year"] == "1965"
+        assert meta["title"] == "The Texas Cookbook"
