@@ -245,11 +245,26 @@ class BookMetadataExtractor:
                 else:
                     res = eng.readtext(image)
                 lines = []
-                # Low-confidence fragments are mostly texture false
-                # positives; they waste the 330-char VLM context budget and
-                # drown the prominent-line heuristics. Fall back to the raw
-                # results when nothing clears the bar.
+                infos = []  # (text, mean_conf, relative_height) per line
+                # VLM context: confident results only — low-confidence
+                # texture fragments waste the 330-char budget. The
+                # prominence structurer receives ALL lines with their
+                # confidence/height and weighs them itself.
                 strong = [r for r in res if r[2] >= 0.3 and len(r[1].strip()) >= 2] or res
+                if res:
+                    grouped = group_lines([r[0] for r in res])
+                    heights = []
+                    for line in grouped:
+                        hs = [
+                            float(np.linalg.norm(np.asarray(res[i][0])[3] - np.asarray(res[i][0])[0]))
+                            for i in line
+                        ]
+                        heights.append(sum(hs) / len(hs))
+                    h_max = max(heights) if heights else 1.0
+                    for line, h in zip(grouped, heights):
+                        txt = " ".join(res[i][1] for i in line)
+                        conf = sum(float(res[i][2]) for i in line) / len(line)
+                        infos.append((txt, conf, h / max(h_max, 1e-6)))
                 if strong:
                     grouped = group_lines([r[0] for r in strong])
                     lines = [" ".join(strong[i][1] for i in line) for line in grouped]
@@ -264,9 +279,10 @@ class BookMetadataExtractor:
                     if isbn:
                         lines = [ln for ln in lines if "isbn" not in ln.lower()]
                         lines.append(f"ISBN {isbn}")
-                return " ".join(lines), lines
+                        infos.append((f"ISBN {isbn}", 1.0, 0.2))
+                return " ".join(lines), lines, infos
             text = eng.read_joined(image)
-            return text, [text] if text else []
+            return text, ([text] if text else []), []
         if self.ocr_engine == "tesseract":
             try:
                 import pytesseract
@@ -275,7 +291,7 @@ class BookMetadataExtractor:
                 text = pytesseract.image_to_string(
                     Image.fromarray(np.clip(image, 0, 255).astype(np.uint8))
                 )
-                return text, [ln for ln in text.split("\n") if ln.strip()]
+                return text, [ln for ln in text.split("\n") if ln.strip()], []
             except ImportError as e:
                 raise RuntimeError("tesseract escape hatch unavailable (pytesseract not installed)") from e
         raise ValueError(f"Unsupported OCR engine: {self.ocr_engine}")
@@ -290,6 +306,7 @@ class BookMetadataExtractor:
         image_index: Optional[int] = None,
         processed: Optional[Dict[str, Any]] = None,
         lines_out: Optional[List[str]] = None,
+        line_infos_out: Optional[List[Any]] = None,
     ) -> str:
         """Single-image OCR with trace events (reference ``:413-561``)."""
         rgb = self._load_rgb(image)
@@ -338,12 +355,14 @@ class BookMetadataExtractor:
                     self._emit_trace(trace_global)
 
         try:
-            text, lines = self._ocr_text(proc["final"], image_index)
+            text, lines, infos = self._ocr_text(proc["final"], image_index)
         except Exception as e:
             print(f"OCR failed: {e}")
-            text, lines = "", []
+            text, lines, infos = "", [], []
         if lines_out is not None:
             lines_out.extend(lines)
+        if line_infos_out is not None:
+            line_infos_out.extend(infos)
 
         if trace_image is not None:
             trace_image["ocr_text"] = text
@@ -396,6 +415,7 @@ class BookMetadataExtractor:
         # OCR phase: process once per targeted image (device programs).
         ocr_texts: List[str] = []
         ocr_lines: List[str] = []
+        ocr_line_infos: List[Any] = []
         for idx in ocr_indices:
             if not (0 <= idx < len(images)):
                 continue
@@ -411,6 +431,7 @@ class BookMetadataExtractor:
                 image_index=idx,
                 processed=processed[idx],
                 lines_out=ocr_lines,
+                line_infos_out=ocr_line_infos,
             )
             if text.strip():
                 if len(text) > self.max_ocr_chars_per_image:
@@ -473,7 +494,12 @@ class BookMetadataExtractor:
 
         # Heuristic-only backend: structure straight from OCR text, no VLM.
         if self.llm_backend == "heuristic":
-            meta = heuristic_extract("\n".join(ocr_lines or ocr_texts))
+            if ocr_line_infos:
+                from bbocr_tpu.extract.heuristics import heuristic_extract_lines
+
+                meta = heuristic_extract_lines(ocr_line_infos)
+            else:
+                meta = heuristic_extract("\n".join(ocr_lines or ocr_texts))
             meta["_processing_info"] = self._processing_info(ocr_texts, images)
             meta["_processing_info"]["structurer"] = "heuristic"
             if capture_trace:
