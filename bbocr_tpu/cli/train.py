@@ -324,13 +324,13 @@ def train_vlm(args) -> None:
 
     def make_batch(seed):
         gen = PageGenerator(SynthConfig(), seed=seed)
-        pages, tokens, lens = gen.batch_labeled(args.batch, h, w)
+        pages, tokens, lens = gen.batch_labeled(args.batch, h, w, target=args.vlm_target)
         return pages.astype(np.uint8), tokens, lens
 
     q, stop = _prefetch(make_batch, n_threads=args.data_threads)
 
     val_gen = PageGenerator(SynthConfig(), seed=999_999)
-    val_pages, val_tokens, val_lens = val_gen.batch_labeled(8, h, w)
+    val_pages, val_tokens, val_lens = val_gen.batch_labeled(8, h, w, target=args.vlm_target)
     from bbocr_tpu.models.vlm import decode_ids as _dec
 
     val_refs = [_dec(val_tokens[i]) for i in range(8)]
@@ -373,10 +373,12 @@ def train_vlm(args) -> None:
             )
         if step % args.save_every == 0 or step == args.steps:
             os.makedirs(args.out, exist_ok=True)
-            save_params(os.path.join(args.out, "vlm.npz"), jax.device_get(params))
+            name = "vlm.npz" if args.vlm_target == "json" else "vlm_read.npz"
+            save_params(os.path.join(args.out, name), jax.device_get(params))
             _maybe_save_state(args, step, params, opt_state)
     stop.set()
-    print(f"saved {os.path.join(args.out, 'vlm.npz')}")
+    name = "vlm.npz" if args.vlm_target == "json" else "vlm_read.npz"
+    print(f"saved {os.path.join(args.out, name)}")
 
 
 def main():
@@ -404,6 +406,9 @@ def main():
                         "cjk requires fonts with CJK coverage)")
     p.add_argument("--neg-ratio", type=float, default=3.0,
                    help="craft loss: weight on background (false-positive) MSE")
+    p.add_argument("--vlm-target", choices=["json", "text"], default="json",
+                   help="vlm training target: json = metadata (end task), "
+                        "text = literal page transcription (reading curriculum)")
     p.add_argument("--state-dir", type=str, default=None,
                    help="orbax train-state dir: saves full resumable state every "
                         "--save-every and auto-resumes from the latest checkpoint")

@@ -532,6 +532,7 @@ class PageGenerator:
         page = Image.new("L", (width, height), bg)
         d = ImageDraw.Draw(page)
         y = rng.randint(10, 30)
+        drawn: List[str] = []
         for text, size, centered in lines:
             font = self.lines._font(size)
             bb = d.textbbox((0, 0), text, font=font)
@@ -540,6 +541,7 @@ class PageGenerator:
             if y + th >= height:
                 break
             d.text((x, y), text, fill=rng.randint(0, 70), font=font)
+            drawn.append(text)
             y += th + rng.randint(8, 26)
         arr = np.asarray(page, np.float32)
         if cfg.photo_aug > 0:
@@ -550,18 +552,30 @@ class PageGenerator:
             0, cfg.noise_std, arr.shape
         )
         arr = np.clip(arr + noise, 0, 255).astype(np.float32)
-        return arr, _json.dumps(meta, separators=(",", ":"))
+        rendered = " ".join(drawn)
+        return arr, _json.dumps(meta, separators=(",", ":")), rendered
 
-    def batch_labeled(self, batch_size: int, height: int = 256, width: int = 192):
-        """(B, H, W) pages, (B, L) token ids, (B,) lengths for VLM training."""
+    def batch_labeled(
+        self, batch_size: int, height: int = 256, width: int = 192, target: str = "json"
+    ):
+        """(B, H, W) pages, (B, L) token ids, (B,) lengths for VLM training.
+
+        ``target``: "json" = the metadata JSON (the end task); "text" = the
+        literal rendered page text — the READING-curriculum phase. A
+        from-scratch encoder-decoder at this scale does not discover visual
+        grounding from the JSON task alone (measured: loss plateaus at the
+        unconditional entropy, field accuracy ~3%); transcription pulls the
+        cross-attention onto the glyphs first, then the JSON phase
+        fine-tunes from it (--init-from).
+        """
         from bbocr_tpu.models.vlm import MAX_JSON_LEN, encode_json
 
         pages = np.zeros((batch_size, height, width), np.float32)
         tokens = np.zeros((batch_size, MAX_JSON_LEN), np.int32)
         lens = np.zeros(batch_size, np.int32)
         for i in range(batch_size):
-            pages[i], txt = self.render_labeled(height, width)
-            tokens[i], lens[i] = encode_json(txt)
+            pages[i], js, rendered = self.render_labeled(height, width)
+            tokens[i], lens[i] = encode_json(js if target == "json" else rendered)
         return pages, tokens, lens
 
 

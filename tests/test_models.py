@@ -445,9 +445,10 @@ class TestPageReaderVLM:
         from bbocr_tpu.train.synth import PageGenerator
 
         gen = PageGenerator(seed=3)
-        page, txt = gen.render_labeled()
+        page, txt, rendered = gen.render_labeled()
         meta = json.loads(txt)
         assert meta["title"] and meta["authors"] and meta["year"]
+        assert meta["title"] in rendered
         assert page.shape == (256, 192)
 
     def test_vlm_loss_decreases(self):
