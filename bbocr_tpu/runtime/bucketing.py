@@ -20,8 +20,11 @@ from bbocr_tpu.models.crnn import INPUT_HEIGHT
 DEFAULT_WIDTH_BUCKETS: Tuple[int, ...] = (64, 128, 256, 384, 512)
 
 # Crop-count capacities per recognizer batch: next value >= n, so at most
-# len(CAPACITIES) compiled programs per width bucket.
-DEFAULT_CAPACITIES: Tuple[int, ...] = (8, 16, 32, 64, 128, 256)
+# len(CAPACITIES) compiled programs per width bucket. Deliberately coarse:
+# on relayed links a fresh XLA compile costs tens of seconds, far more than
+# the padded-slot compute a finer menu would save (round-2 bench: the
+# (width x capacity x canvas) shape space caused a compile storm).
+DEFAULT_CAPACITIES: Tuple[int, ...] = (8, 32, 128, 384)
 
 
 def pick_bucket(value: float, buckets: Sequence[int]) -> int:

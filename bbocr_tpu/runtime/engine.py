@@ -272,26 +272,39 @@ class OCREngine:
 
         per_image_quads: List[List[np.ndarray]] = [[] for _ in range(n_img)]
         scales: List[float] = [1.0] * n_img
-        canvas_batches: Dict[CanvasSpec, jnp.ndarray] = {}
-        canvas_pos: Dict[int, Tuple[CanvasSpec, int]] = {}
+        canvas_batches: Dict[Tuple[CanvasSpec, int], jnp.ndarray] = {}
+        canvas_pos: Dict[int, Tuple[Tuple[CanvasSpec, int], int]] = {}
 
+        # The photo-batch dimension is part of the compiled detect shape:
+        # chunk each canvas group to at most CHUNK rows and pad the tail to
+        # a tiny menu, so real traffic reuses a handful of compiled programs
+        # instead of recompiling the (slow, big-canvas) CRAFT per group
+        # size. Padded slots are dead work, bounded by the menu granularity.
+        CHUNK = 8
+        chunked: List[Tuple[Tuple[CanvasSpec, int], List[int]]] = []
         for canvas, idxs in groups.items():
+            for c in range(0, len(idxs), CHUNK):
+                chunked.append(((canvas, c // CHUNK), idxs[c : c + CHUNK]))
+
+        for src_key, idxs in chunked:
+            canvas = src_key[0]
             with self.timers.stage("letterbox"):
                 # uint8 on the wire (values are u8 after the PIL resize
                 # anyway); widened to f32 on device. 4x fewer upload bytes.
                 # Under a mesh the photo batch is padded to a dp multiple so
                 # GSPMD shards it evenly (padding slots are dead work).
-                rows = -(-len(idxs) // self._dp) * self._dp
+                rows = bucketing.pad_count(len(idxs), (1, 2, 4, CHUNK))
+                rows = -(-rows // self._dp) * self._dp
                 batch = np.zeros((rows, canvas.height, canvas.width), np.uint8)
                 for slot, i in enumerate(idxs):
                     g = grays[i]
                     scale, oh, ow = bucketing.letterbox_params(g.shape[0], g.shape[1], canvas)
                     scales[i] = scale
                     batch[slot, :oh, :ow] = _host_resize(g, oh, ow).astype(np.uint8)
-                    canvas_pos[i] = (canvas, slot)
+                    canvas_pos[i] = (src_key, slot)
                 raw = jnp.asarray(batch) if self._bsh is None else jax.device_put(batch, self._bsh)
                 dev_batch = self._widen(raw)
-                canvas_batches[canvas] = dev_batch
+                canvas_batches[src_key] = dev_batch
 
             pool = (
                 cfg.detect_pool
@@ -327,17 +340,23 @@ class OCREngine:
         for bucket_w, entries in buckets.items():
             cap = bucketing.pad_count(len(entries), cfg.batch_capacities)
             cap = -(-cap // self._dp) * self._dp  # dp-divisible under a mesh
-            # group by canvas for warping (same source array shape)
-            by_canvas: Dict[CanvasSpec, List[int]] = {}
+            # group by source batch for warping (same source array shape)
+            by_canvas: Dict[Tuple[CanvasSpec, int], List[int]] = {}
             for e_idx, (i, j, quad, true_w) in enumerate(entries):
                 by_canvas.setdefault(canvas_pos[i][0], []).append(e_idx)
 
             crop_arrays = []
             order: List[int] = []
-            for canvas, e_idxs in by_canvas.items():
-                homos = np.zeros((len(e_idxs), 3, 3), np.float32)
-                img_idx = np.zeros(len(e_idxs), np.int32)
-                true_ws = np.zeros(len(e_idxs), np.int32)
+            for src_key, e_idxs in by_canvas.items():
+                # Pad the crop count to the capacity menu: it is part of the
+                # compiled warp shape, and letting it float recompiles the
+                # gather program per distinct count (measured compile storm
+                # on real traffic). Padded slots warp garbage that is sliced
+                # off before recognition.
+                n_pad = bucketing.pad_count(len(e_idxs), cfg.batch_capacities)
+                homos = np.zeros((n_pad, 3, 3), np.float32)
+                img_idx = np.zeros(n_pad, np.int32)
+                true_ws = np.ones(n_pad, np.int32)
                 for k, e_idx in enumerate(e_idxs):
                     i, j, quad, true_w = entries[e_idx]
                     homos[k] = quad_to_rect_homography(quad, true_w)
@@ -345,12 +364,12 @@ class OCREngine:
                     true_ws[k] = true_w
                 with self.timers.stage("rectify"):
                     crops = warp_crops(
-                        canvas_batches[canvas],
+                        canvas_batches[src_key],
                         jnp.asarray(homos),
                         jnp.asarray(img_idx),
                         jnp.asarray(true_ws),
                         bucket_w,
-                    )
+                    )[: len(e_idxs)]
                 crop_arrays.append(crops)
                 order.extend(e_idxs)
 
