@@ -296,12 +296,21 @@ class OCREngine:
                 rows = bucketing.pad_count(len(idxs), (1, 2, 4, CHUNK))
                 rows = -(-rows // self._dp) * self._dp
                 batch = np.zeros((rows, canvas.height, canvas.width), np.uint8)
-                for slot, i in enumerate(idxs):
+
+                def fill(slot_i):
+                    slot, i = slot_i
                     g = grays[i]
                     scale, oh, ow = bucketing.letterbox_params(g.shape[0], g.shape[1], canvas)
                     scales[i] = scale
                     batch[slot, :oh, :ow] = _host_resize(g, oh, ow).astype(np.uint8)
                     canvas_pos[i] = (src_key, slot)
+
+                # PIL resize of a 2400px photo costs ~100ms; parallel across
+                # the chunk (PIL releases the GIL in resize).
+                if len(idxs) > 1:
+                    list(_letterbox_pool().map(fill, enumerate(idxs)))
+                else:
+                    fill((0, idxs[0]))
                 raw = jnp.asarray(batch) if self._bsh is None else jax.device_put(batch, self._bsh)
                 dev_batch = self._widen(raw)
                 canvas_batches[src_key] = dev_batch
@@ -348,12 +357,13 @@ class OCREngine:
             crop_arrays = []
             order: List[int] = []
             for src_key, e_idxs in by_canvas.items():
-                # Pad the crop count to the capacity menu: it is part of the
-                # compiled warp shape, and letting it float recompiles the
-                # gather program per distinct count (measured compile storm
-                # on real traffic). Padded slots warp garbage that is sliced
-                # off before recognition.
-                n_pad = bucketing.pad_count(len(e_idxs), cfg.batch_capacities)
+                # Pad the crop count to the next power of two: it is part of
+                # the compiled warp shape (letting it float recompiles the
+                # gather program per distinct count — measured compile storm
+                # on real traffic), but the warp is gather-bound, so unlike
+                # recognition its padding costs real HBM work — bound the
+                # waste at 2x rather than reusing the coarse capacity menu.
+                n_pad = 1 << (max(1, len(e_idxs)) - 1).bit_length()
                 homos = np.zeros((n_pad, 3, 3), np.float32)
                 img_idx = np.zeros(n_pad, np.int32)
                 true_ws = np.ones(n_pad, np.int32)
@@ -579,3 +589,15 @@ def _host_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
     pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
     return np.asarray(pil.resize((out_w, out_h), Image.BILINEAR), np.float32)
+
+
+_LETTERBOX_POOL = None
+
+
+def _letterbox_pool():
+    global _LETTERBOX_POOL
+    if _LETTERBOX_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _LETTERBOX_POOL = ThreadPoolExecutor(max_workers=8)
+    return _LETTERBOX_POOL
