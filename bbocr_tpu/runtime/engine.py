@@ -286,6 +286,11 @@ class OCREngine:
             for c in range(0, len(idxs), CHUNK):
                 chunked.append(((canvas, c // CHUNK), idxs[c : c + CHUNK]))
 
+        # Dispatch phase: letterbox + upload + detect for EVERY chunk before
+        # downloading any score map. jax dispatch is asynchronous, so later
+        # chunks' (relay-bandwidth-bound) uploads pipeline under earlier
+        # chunks' device compute instead of strictly alternating.
+        pending: List[Tuple[Tuple[CanvasSpec, int], List[int], Any, Any, int]] = []
         for src_key, idxs in chunked:
             canvas = src_key[0]
             with self.timers.stage("letterbox"):
@@ -322,9 +327,14 @@ class OCREngine:
                 else 1
             )
             with self.timers.stage("detect"):
-                masks, regions_q = self._detect(self.craft_params, dev_batch, pool)
-                masks = np.asarray(masks)
-                regions_q = np.asarray(regions_q)
+                masks_dev, regions_dev = self._detect(self.craft_params, dev_batch, pool)
+            pending.append((src_key, idxs, masks_dev, regions_dev, pool))
+
+        # Download + host box extraction phase.
+        for src_key, idxs, masks_dev, regions_dev, pool in pending:
+            with self.timers.stage("detect"):
+                masks = np.asarray(masks_dev)
+                regions_q = np.asarray(regions_dev)
             with self.timers.stage("boxes"):
                 for slot, i in enumerate(idxs):
                     quads = extract_boxes_masked(masks[slot], regions_q[slot], cfg.detection)
