@@ -40,7 +40,8 @@ class TestTesseractEscapeHatch:
     def test_ocr_text_dispatches_to_tesseract(self, fake_pytesseract):
         ex = self._extractor()
         img = np.full((64, 48), 230.0, np.float32)
-        text, lines = ex._ocr_text(img, image_index=1)
+        text, lines, infos = ex._ocr_text(img, image_index=1)
+        assert infos == []  # tesseract path carries no prominence info
         assert "THE GREAT NOVEL" in text
         assert lines[0] == "THE GREAT NOVEL"
         assert len(lines) == 4  # blank lines dropped
