@@ -155,7 +155,7 @@ def evaluate_real(
         rotations: List[int] = []
         results_dump: List[Tuple[str, float]] = []
         t_book = time.time()
-        for img_name, sideways in zip(entry["images"], entry.get("sideways", [])):
+        for img_i, (img_name, sideways) in enumerate(zip(entry["images"], entry.get("sideways", []))):
             # photos/<id> images live in that directory; covers/<name> images
             # sit directly under covers/.
             path = os.path.join(real_dir, *key.split("/"), img_name)
@@ -185,7 +185,7 @@ def evaluate_real(
                 for line, h in zip(groups, heights):
                     txt = " ".join(res[i][1] for i in line)
                     conf = sum(float(res[i][2]) for i in line) / len(line)
-                    lines_all.append((txt, conf, h / max(h_max, 1e-6)))
+                    lines_all.append((txt, conf, h / max(h_max, 1e-6), img_i))
         ocr_text = " ".join(texts)
         recall = word_recall(entry.get("phrases", []), ocr_text)
         cer = phrase_cer(entry.get("phrases", []), ocr_text)

@@ -264,7 +264,7 @@ class BookMetadataExtractor:
                     for line, h in zip(grouped, heights):
                         txt = " ".join(res[i][1] for i in line)
                         conf = sum(float(res[i][2]) for i in line) / len(line)
-                        infos.append((txt, conf, h / max(h_max, 1e-6)))
+                        infos.append((txt, conf, h / max(h_max, 1e-6), image_index or 0))
                 if strong:
                     grouped = group_lines([r[0] for r in strong])
                     lines = [" ".join(strong[i][1] for i in line) for line in grouped]
