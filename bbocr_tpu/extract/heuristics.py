@@ -87,6 +87,20 @@ def find_isbns(text: str) -> Dict[str, Optional[str]]:
         if isbn13_valid(cand):
             isbn_13 = cand
             break
+    if isbn_13 is None:
+        # OCR fuses the "ISBN" label into the digit run ('I'->1 'S'->5
+        # 'B'->8 'N'->0: "ISBN 9787..." reads as "15809787...") which
+        # defeats the boundary-anchored regex; slide a checksum-validated
+        # 13-digit window over every long digit run instead.
+        for run in re.findall(r"\d[\d\- ]{11,}", text):
+            digits = re.sub(r"\D", "", run)
+            for s in range(len(digits) - 12):
+                cand = digits[s : s + 13]
+                if cand.startswith(("978", "979")) and isbn13_valid(cand):
+                    isbn_13 = cand
+                    break
+            if isbn_13:
+                break
     for m in _ISBN10_RE.finditer(text):
         cand = _clean_isbn(m.group(1))
         if cand.startswith(("978", "979")):

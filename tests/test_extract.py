@@ -265,3 +265,10 @@ class TestLineProminenceHeuristics:
         meta = heuristic_extract_lines(lines)
         assert meta["year"] == "1965"
         assert meta["title"] == "The Texas Cookbook"
+
+    def test_isbn13_recovered_from_fused_label_digits(self):
+        # 'ISBN' misread as digits fuses into the run: I->1 S->5 B->8 N->0
+        from bbocr_tpu.extract.heuristics import find_isbns
+
+        got = find_isbns("colophon 15809787853601424 printed")
+        assert got["isbn_13"] == "9787853601424"
