@@ -29,6 +29,11 @@ def _prefetch(make_batch, n_threads: int = 4, depth: int = 8):
     worker PROCESSES instead (the closure crosses fork fine on Linux;
     children touch only numpy/PIL, never jax). Threads remain as the
     fallback for non-fork platforms.
+
+    Call this BEFORE the first jax computation: forking a process that
+    already holds a live TPU runtime (libtpu spins worker threads at
+    backend init) is unsupported and can deadlock the parent. The train_*
+    entry points below all start the pool before touching jax.
     """
     stop = threading.Event()
     try:
@@ -54,8 +59,20 @@ def _prefetch(make_batch, n_threads: int = 4, depth: int = 8):
 
         class _Stop:
             def set(self):
+                # Workers may be blocked in mq.put: drain so terminate()
+                # doesn't strand the parent's queue feeder lock, then tell
+                # the feeder not to block interpreter exit.
+                try:
+                    while True:
+                        mq.get_nowait()
+                except Exception:
+                    pass
                 for p in procs:
                     p.terminate()
+                try:
+                    mq.cancel_join_thread()
+                except Exception:
+                    pass
 
         return mq, _Stop()
 
@@ -165,17 +182,6 @@ def train_crnn(args) -> None:
                 "--charset cjk: no installed font covers CJK glyphs; install "
                 "one (e.g. Noto Sans CJK) before training this head"
             )
-    crnn = CRNN(num_classes=cfg.charset.num_classes)
-    params = crnn.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 32, 64, 1), jnp.float32))
-    if args.init_from:
-        from bbocr_tpu.utils.checkpoint import load_params
-
-        params = jax.tree_util.tree_map(jnp.asarray, load_params(args.init_from))
-        print(f"initialized from {args.init_from}", flush=True)
-    tx = make_optimizer(_train_config(args))
-    opt_state = tx.init(params)
-    params, opt_state, start_step = _maybe_resume(args, params, opt_state)
-    step_fn = make_crnn_train_step(crnn, tx)
 
     widths = [int(w) for w in str(args.width).split(",")]
 
@@ -187,7 +193,21 @@ def train_crnn(args) -> None:
         # TPU links; crnn_loss widens on device.
         return crops.astype(np.uint8), labels, label_lens, frame_lens
 
+    # fork workers BEFORE the first jax computation (model init starts the
+    # TPU runtime; forking after that is unsupported by libtpu)
     q, stop = _prefetch(make_batch, n_threads=args.data_threads)
+
+    crnn = CRNN(num_classes=cfg.charset.num_classes)
+    params = crnn.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 32, 64, 1), jnp.float32))
+    if args.init_from:
+        from bbocr_tpu.utils.checkpoint import load_params
+
+        params = jax.tree_util.tree_map(jnp.asarray, load_params(args.init_from))
+        print(f"initialized from {args.init_from}", flush=True)
+    tx = make_optimizer(_train_config(args))
+    opt_state = tx.init(params)
+    params, opt_state, start_step = _maybe_resume(args, params, opt_state)
+    step_fn = make_crnn_train_step(crnn, tx)
 
     # fixed validation set (largest width bucket)
     val_gen = TextLineGenerator(cfg, seed=999_999)
@@ -246,6 +266,27 @@ def train_craft(args) -> None:
     from bbocr_tpu.train.synth import PageGenerator, SynthConfig
     from bbocr_tpu.utils.checkpoint import save_params
 
+    # Page-size menu (comma lists): covers letterboxed to serving canvases
+    # carry display glyphs up to ~180px — training only at 256x192 (glyphs
+    # <= 64px) left the detector blind to the large-glyph regime (round-2
+    # diag: merged multi-line quads on real covers). Each size compiles its
+    # own train step; keep the menu to 2-3 entries.
+    hs = [int(x) for x in str(args.page_h).split(",")]
+    ws = [int(x) for x in str(args.page_w).split(",")]
+    if len(hs) != len(ws):
+        raise SystemExit("--page-h and --page-w lists must have equal length")
+
+    def make_batch(seed):
+        gen = PageGenerator(SynthConfig(), seed=seed)
+        k = seed % len(hs)
+        pages, maps = gen.batch(args.batch, hs[k], ws[k])
+        # u8 pages + u8-quantized heatmaps: 4x less relay upload per step
+        # (craft_loss dequantizes on device).
+        return pages.astype(np.uint8), np.round(maps * 255.0).astype(np.uint8)
+
+    # fork workers BEFORE the first jax computation (see _prefetch)
+    q, stop = _prefetch(make_batch, n_threads=args.data_threads)
+
     craft = CRAFT()
     params = craft.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 64, 64, 3), jnp.float32))
     if args.init_from:
@@ -257,17 +298,6 @@ def train_craft(args) -> None:
     opt_state = tx.init(params)
     params, opt_state, start_step = _maybe_resume(args, params, opt_state)
     step_fn = make_craft_train_step(craft, tx, neg_ratio=args.neg_ratio)
-
-    h, w = args.page_h, args.page_w
-
-    def make_batch(seed):
-        gen = PageGenerator(SynthConfig(), seed=seed)
-        pages, maps = gen.batch(args.batch, h, w)
-        # u8 pages + u8-quantized heatmaps: 4x less relay upload per step
-        # (craft_loss dequantizes on device).
-        return pages.astype(np.uint8), np.round(maps * 255.0).astype(np.uint8)
-
-    q, stop = _prefetch(make_batch, n_threads=args.data_threads)
 
     t0 = time.time()
     losses = []
@@ -305,7 +335,16 @@ def train_vlm(args) -> None:
     from bbocr_tpu.train.synth import PageGenerator, SynthConfig
     from bbocr_tpu.utils.checkpoint import save_params
 
-    h, w = args.page_h, args.page_w
+    h, w = int(str(args.page_h).split(",")[0]), int(str(args.page_w).split(",")[0])
+
+    def make_batch(seed):
+        gen = PageGenerator(SynthConfig(), seed=seed)
+        pages, tokens, lens = gen.batch_labeled(args.batch, h, w, target=args.vlm_target)
+        return pages.astype(np.uint8), tokens, lens
+
+    # fork workers BEFORE the first jax computation (see _prefetch)
+    q, stop = _prefetch(make_batch, n_threads=args.data_threads)
+
     model = PageReader()
     params = model.init(
         jax.random.PRNGKey(args.seed),
@@ -321,13 +360,6 @@ def train_vlm(args) -> None:
     opt_state = tx.init(params)
     params, opt_state, start_step = _maybe_resume(args, params, opt_state)
     step_fn = make_vlm_train_step(model, tx)
-
-    def make_batch(seed):
-        gen = PageGenerator(SynthConfig(), seed=seed)
-        pages, tokens, lens = gen.batch_labeled(args.batch, h, w, target=args.vlm_target)
-        return pages.astype(np.uint8), tokens, lens
-
-    q, stop = _prefetch(make_batch, n_threads=args.data_threads)
 
     val_gen = PageGenerator(SynthConfig(), seed=999_999)
     val_pages, val_tokens, val_lens = val_gen.batch_labeled(8, h, w, target=args.vlm_target)
@@ -388,8 +420,10 @@ def main():
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--width", type=str, default="256",
                    help="crnn crop width, or comma list to mix buckets (e.g. 64,128,256,384)")
-    p.add_argument("--page-h", type=int, default=256)
-    p.add_argument("--page-w", type=int, default=192)
+    p.add_argument("--page-h", type=str, default="256",
+                   help="craft page height, or comma list to mix sizes (e.g. 256,512)")
+    p.add_argument("--page-w", type=str, default="192",
+                   help="craft page width(s), zipped with --page-h")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", type=str, default="checkpoints")

@@ -31,6 +31,35 @@ _FONT_DIRS = (
     "/usr/share/fonts",
 )
 
+# Probe set for font usability: every face used for synthesis must render
+# these (letters, digits) as real glyphs — math/symbol faces (cmex, cmsy,
+# STIX size variants) ship partial cmaps and would otherwise inject tofu
+# or wrong glyphs into the training labels.
+_PROBE_CHARS = string.ascii_uppercase + string.ascii_lowercase + string.digits
+
+# TeX math faces whose Unicode cmaps still resolve Latin codepoints to
+# symbol glyphs (verified by rendering): the probe can't catch these.
+_FONT_BLACKLIST = frozenset({"cmex10.ttf", "cmsy10.ttf", "cmmi10.ttf"})
+
+
+def _font_usable(path: str) -> bool:
+    if os.path.basename(path) in _FONT_BLACKLIST:
+        return False
+    try:
+        from PIL import ImageFont
+
+        f = ImageFont.truetype(path, 24)
+        a = f.getmask("A")
+        b = f.getmask("B")
+        if a.getbbox() is None or b.getbbox() is None or bytes(a) == bytes(b):
+            return False
+        for ch in _PROBE_CHARS:
+            if f.getmask(ch).getbbox() is None:
+                return False
+        return True
+    except Exception:
+        return False
+
 _WORDS = (
     "the of and a to in is was he for it with as his on be at by had not are "
     "but from or have an they which one you were her all she there would "
@@ -80,12 +109,45 @@ def _sample_name(rng: random.Random) -> str:
     return f"{first} {s}"
 
 
+_FONTS_CACHE: Optional[List[str]] = None
+
+
 def _find_fonts() -> List[str]:
-    fonts: List[str] = []
+    """Every usable text face on the image, deduped by file basename.
+
+    The system ships only 6 DejaVu faces; matplotlib's bundled fonts add
+    the STIX serif family, Computer Modern (serif/sans/typewriter/italic)
+    and the DejaVu Display variants — real typographic diversity the
+    cover-reading gap needs (round-2 covers failed on display serif faces
+    the DejaVu-only corpus never showed the recognizer). Symbol/math faces
+    are filtered out by glyph probing.
+    """
+    global _FONTS_CACHE
+    if _FONTS_CACHE is not None:
+        return _FONTS_CACHE
+    candidates: List[str] = []
     for d in _FONT_DIRS:
-        fonts.extend(sorted(glob.glob(os.path.join(d, "**", "*.ttf"), recursive=True)))
-        if fonts:
+        found = sorted(glob.glob(os.path.join(d, "**", "*.ttf"), recursive=True))
+        if found:
+            candidates.extend(found)
             break
+    try:
+        import matplotlib
+
+        mpl_dir = os.path.join(matplotlib.get_data_path(), "fonts", "ttf")
+        candidates.extend(sorted(glob.glob(os.path.join(mpl_dir, "*.ttf"))))
+    except Exception:
+        pass
+    seen = set()
+    fonts: List[str] = []
+    for p in candidates:
+        base = os.path.basename(p)
+        if base in seen:
+            continue
+        seen.add(base)
+        if _font_usable(p):
+            fonts.append(p)
+    _FONTS_CACHE = fonts
     return fonts
 
 
@@ -217,8 +279,13 @@ class TextLineGenerator:
         elif self.rng.random() < 0.15 * cfg.style_aug:
             stroke = self.rng.randint(1, 2)  # display/outline faces
         tracking = 0
-        if self.rng.random() < 0.25 * cfg.style_aug:
-            tracking = self.rng.randint(2, max(3, size // 3))  # letterspaced caps
+        if self.rng.random() < 0.3 * cfg.style_aug:
+            # Letterspaced display caps: real covers track up to ~0.8em
+            # ("S H A C K L E T O N ' S" — data/real/covers/book4). The
+            # round-2 cap of size/3 never showed the recognizer the wide
+            # end, and those lines were its worst misses.
+            hi = max(3, int(size * (0.8 if self.rng.random() < 0.3 else 0.35)))
+            tracking = self.rng.randint(2, hi)
         if tracking:
             x = x0
             for ch in text:
@@ -249,7 +316,11 @@ class TextLineGenerator:
         # glyphs (CRAFT dilation growth), so the text occupies only part of
         # the rectified 32px crop; train with the same looseness.
         text_h = int(cfg.height * self.rng.uniform(0.45, 1.0))
-        w = max(8, min(int(crop.width * text_h / max(crop.height, 1)), width))
+        # Condensed/extended faces: real display type is often set narrow
+        # (movie-poster condensed) or wide; the six DejaVu faces are all
+        # normal-width, so synthesize the regime by aspect jitter.
+        aspect_j = self.rng.uniform(0.65, 1.3) if self.rng.random() < 0.35 * cfg.style_aug else 1.0
+        w = max(8, min(int(crop.width * text_h * aspect_j / max(crop.height, 1)), width))
         crop = crop.resize((w, text_h), Image.BILINEAR)
         out = np.full((cfg.height, width), bg, np.float32)
         y_off = self.rng.randint(0, cfg.height - text_h) if cfg.height > text_h else 0
@@ -412,9 +483,13 @@ class PageGenerator:
             font = self.lines._font(size)
             # display-type styling on covers: letterspaced caps + outline
             tracking = 0
-            if cover and self.rng.random() < 0.35:
+            if cover and self.rng.random() < 0.4:
                 text = text.upper()
-                tracking = self.rng.randint(2, max(3, size // 3))
+                # wide end teaches the detector's affinity to LINK widely
+                # spaced display letters (real covers fragment per-char
+                # without it — diag: book5 detected single 'A'/'i' boxes)
+                hi = max(3, int(size * (0.7 if self.rng.random() < 0.3 else 0.35)))
+                tracking = self.rng.randint(2, hi)
             bbox0 = draw.textbbox((0, 0), text, font=font)
             tw = min(bbox0[2] + 2 + tracking * max(0, len(text) - 1), width)
             th = min(bbox0[3] + 2, height)
