@@ -80,7 +80,7 @@ def main():
     p.add_argument("--books-dir", help="root directory holding book subdirs")
     p.add_argument("--model", default="gemma3:4b")
     p.add_argument("--llm-backend", default="ollama",
-                   choices=["ollama", "openai", "gemini", "heuristic"])
+                   choices=["ollama", "openai", "gemini", "heuristic", "tpu"])
     p.add_argument("--ocr-engine", default="tpu", choices=["tpu", "tesseract"])
     p.add_argument("--no-preprocessing", action="store_true")
     p.add_argument("--crop-ocr", action="store_true")

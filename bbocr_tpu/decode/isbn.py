@@ -57,15 +57,19 @@ _CONFUSIONS = str.maketrans({"O": "0", "o": "0", "I": "1", "l": "1",
 
 
 def _digit_candidates(text: str) -> List[str]:
-    """Candidate ISBN strings from decoded text (raw + de-confused)."""
+    """Candidate ISBN strings from decoded text (raw + de-confused).
+
+    Slides 13- and 10-wide windows over each full digit run (like
+    ``heuristics.find_isbns``): a fused "ISBN" label misread as digits
+    yields runs up to ~17 chars where the valid ISBN sits at an interior
+    offset that fixed-length regex matching never produces.
+    """
     cands = []
     for variant in (text, text.translate(_CONFUSIONS)):
         cleaned = re.sub(r"[^\dX]", "", variant.upper().replace("ISBN", ""))
-        for m in re.finditer(r"[\dX]{10,13}", cleaned):
-            s = m.group(0)
-            for ln in (13, 10):
-                if len(s) >= ln:
-                    cands.extend((s[:ln], s[-ln:]))
+        for ln in (13, 10):
+            for start in range(0, len(cleaned) - ln + 1):
+                cands.append(cleaned[start : start + ln])
     return cands
 
 

@@ -556,6 +556,7 @@ class BookMetadataExtractor:
     def _call_llm(self, prompt: str, images_b64: List[str]) -> str:
         from bbocr_tpu.llm import OllamaClient, create_llm_client
 
+        self._last_llm_usage = None
         if self.llm_backend == "ollama":
             client = OllamaClient(self.session, self.ollama_base_url)
             last_err: Optional[Exception] = None
@@ -567,7 +568,11 @@ class BookMetadataExtractor:
                     time.sleep(1.0 * (attempt + 1))
             raise Exception(f"Error from Ollama API: {last_err}")
         client = create_llm_client(self.llm_backend, session=self.session)
-        return client.generate(self.model, prompt, images_b64, self.llm_timeout_seconds)
+        out = client.generate(self.model, prompt, images_b64, self.llm_timeout_seconds)
+        # per-request cost accounting for metered cloud backends
+        # (reference: gradio_GPT/app.py:139-143)
+        self._last_llm_usage = getattr(client, "last_usage", None)
+        return out
 
     def _processing_info(self, ocr_texts: List[str], images: Sequence) -> Dict[str, Any]:
         info = {
@@ -583,6 +588,8 @@ class BookMetadataExtractor:
                 info["engine_timings"] = self._engine.timings()
             except Exception:
                 pass
+        if getattr(self, "_last_llm_usage", None):
+            info["llm_usage"] = self._last_llm_usage
         return info
 
     # ------------------------------------------------------------------

@@ -22,10 +22,41 @@ import requests
 
 
 class LLMClient:
-    """Provider-agnostic interface."""
+    """Provider-agnostic interface.
+
+    After a successful ``generate``, ``last_usage`` holds per-request
+    accounting for metered backends (``{"prompt_tokens", "completion_tokens",
+    "cost_usd"}``) or None for free/local ones — the reference computes the
+    same $-per-request for GPT-4o (``pipeline_components/gradio_GPT/app.py:139-143``).
+    """
+
+    last_usage: Optional[dict] = None
 
     def generate(self, model: str, prompt: str, images_b64: List[str], timeout_seconds: float = 300.0) -> str:
         raise NotImplementedError
+
+
+# Reference cost model (gradio_GPT/app.py:139-143): $/1K tokens in, out.
+_COST_PER_1K = {
+    "openai": (0.005, 0.015),
+    # Gemini flash-tier public list price; pro models differ but the
+    # reference never priced them — flash is the fallback chain's floor.
+    "gemini": (0.000075, 0.0003),
+}
+
+
+def _usage(backend: str, prompt_tokens: Optional[int], completion_tokens: Optional[int]) -> Optional[dict]:
+    if prompt_tokens is None and completion_tokens is None:
+        return None
+    rate_in, rate_out = _COST_PER_1K.get(backend, (0.0, 0.0))
+    cost = None
+    if prompt_tokens is not None and completion_tokens is not None:
+        cost = round(prompt_tokens / 1000.0 * rate_in + completion_tokens / 1000.0 * rate_out, 6)
+    return {
+        "prompt_tokens": prompt_tokens,
+        "completion_tokens": completion_tokens,
+        "cost_usd": cost,
+    }
 
 
 class OllamaClient(LLMClient):
@@ -71,6 +102,8 @@ class OpenAIClient(LLMClient):
         if resp.status_code != 200:
             raise RuntimeError(f"OpenAI HTTP {resp.status_code}: {resp.text[:300]}")
         data = resp.json()
+        u = data.get("usage") or {}
+        self.last_usage = _usage("openai", u.get("prompt_tokens"), u.get("completion_tokens"))
         return data["choices"][0]["message"]["content"]
 
 
@@ -125,6 +158,10 @@ class GeminiClient(LLMClient):
                 cands = data.get("candidates") or []
                 if not cands:
                     raise RuntimeError(f"Gemini returned no candidates: {str(data)[:300]}")
+                um = data.get("usageMetadata") or {}
+                self.last_usage = _usage(
+                    "gemini", um.get("promptTokenCount"), um.get("candidatesTokenCount")
+                )
                 parts = cands[0].get("content", {}).get("parts", [])
                 return "".join(p.get("text", "") for p in parts)
             if resp.status_code == 404 and m in self.NAME_FALLBACKS:
@@ -152,8 +189,9 @@ def create_llm_client(backend: str, session: Optional[requests.Session] = None) 
         return GeminiClient(session)
     if backend in ("tpu", "native", "pagereader"):
         # On-chip Donut-style page->JSON head (BASELINE config 5): no model
-        # server at all — see bbocr_tpu.llm.native_vlm.
-        from bbocr_tpu.llm.native_vlm import NativeVLMClient
+        # server at all — see bbocr_tpu.llm.native_vlm. Cached process-wide:
+        # params stay pinned on device across requests.
+        from bbocr_tpu.llm.native_vlm import get_native_client
 
-        return NativeVLMClient()
+        return get_native_client()
     raise ValueError(f"Unknown LLM backend: {backend}")

@@ -25,6 +25,23 @@ from bbocr_tpu.llm.client import LLMClient
 DEFAULT_CKPT = os.path.join("checkpoints", "vlm.npz")
 PAGE_H, PAGE_W = 256, 192
 
+# Process-wide client cache keyed by default checkpoint path: params live
+# on device and the jit trace is shape-stable, so re-creating a client per
+# request (the extractor builds its LLM client per call) would re-read the
+# ~19MB npz and re-upload params every time, defeating the on-chip
+# backend's latency rationale. Mirrors the engine's _ENGINE_CACHE.
+_CLIENT_CACHE: dict = {}
+_CACHE_LOCK = threading.Lock()
+
+
+def get_native_client(ckpt_path: Optional[str] = None) -> "NativeVLMClient":
+    key = ckpt_path or os.environ.get("BB_OCR_VLM_CKPT", DEFAULT_CKPT)
+    with _CACHE_LOCK:
+        client = _CLIENT_CACHE.get(key)
+        if client is None:
+            client = _CLIENT_CACHE[key] = NativeVLMClient(key)
+        return client
+
 
 class NativeVLMClient(LLMClient):
     """LLMClient over the on-chip PageReader. ``model`` names a checkpoint
@@ -35,6 +52,7 @@ class NativeVLMClient(LLMClient):
         self._lock = threading.Lock()
         self._model = None
         self._params = None
+        self._loaded_path: Optional[str] = None
 
     def _ensure_loaded(self, model_name: str):
         import jax
@@ -45,9 +63,13 @@ class NativeVLMClient(LLMClient):
         path = model_name if model_name and os.path.isfile(model_name) else self.ckpt_path
         if self._model is None:
             self._model = PageReader()
+        # key the cached params on the resolved path: a long-lived client
+        # asked for a different checkpoint must not keep serving the first
+        if self._loaded_path != path:
             self._params = jax.tree_util.tree_map(
                 jax.numpy.asarray, load_params(path)
             )
+            self._loaded_path = path
 
     @staticmethod
     def _page_from_b64(image_b64: str) -> np.ndarray:
