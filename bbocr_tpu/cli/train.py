@@ -20,6 +20,17 @@ import time
 import numpy as np
 
 
+def _warm_backend() -> None:
+    """Force full backend init + one compile before any fork (see _prefetch)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 8))
+    # host readback, NOT block_until_ready: the relayed backend's
+    # block_until_ready returns before the compile actually lands
+    float((x @ x).sum())
+
+
 def _prefetch(make_batch, n_threads: int = 4, depth: int = 8):
     """Host-side batch prefetch into a bounded queue.
 
@@ -30,11 +41,16 @@ def _prefetch(make_batch, n_threads: int = 4, depth: int = 8):
     children touch only numpy/PIL, never jax). Threads remain as the
     fallback for non-fork platforms.
 
-    Call this BEFORE the first jax computation: forking a process that
-    already holds a live TPU runtime (libtpu spins worker threads at
-    backend init) is unsupported and can deadlock the parent. The train_*
-    entry points below all start the pool before touching jax.
+    Fork ORDER matters, and the safe order is backend-specific. On this
+    machine's relayed-TPU backend the parent's FIRST XLA compile deadlocks
+    forever if any forked child already exists (measured: a bare sleeping
+    child forked before ``import jax`` wedges `(x@x).sum()`; forked after a
+    completed compile, everything works). So: fully initialize the backend
+    (one tiny compile) BEFORE starting workers — ``_warm_backend`` below —
+    then fork. Children only touch numpy/PIL, never jax, so the inherited
+    runtime threads are inert in them.
     """
+    _warm_backend()
     stop = threading.Event()
     try:
         import multiprocessing as mp
