@@ -165,3 +165,113 @@ class CRAFT(nn.Module):
         out = out.astype(jnp.float32)
         # Score maps are probabilities; sigmoid keeps train/infer consistent.
         return jax.nn.sigmoid(out) if self.final_sigmoid else out
+
+
+# ---------------------------------------------------------------------------
+# Published-layout variant (torch weight import)
+# ---------------------------------------------------------------------------
+#
+# The published CRAFT (the detector easyocr drives at
+# ``pipeline_demo/extractor/enhanced_extractor.py:520``) taps its VGG16-BN
+# backbone mid-stage and PRE-ReLU: slice boundaries fall after the BatchNorm
+# of the 2nd conv of stages 2-5 (torchvision features indices 11/18/28/38),
+# with each following slice starting with the pending ReLU. The from-scratch
+# CRAFT above uses stage-aligned post-ReLU taps, so published checkpoints
+# cannot drive it; this variant reproduces the published dataflow exactly so
+# ``models.weights.import_craft_from_torch`` gives reference users their
+# detector weights for free (VERDICT round-2 item #2).
+
+
+class _BNConvSeq(nn.Module):
+    """Sequential [optional leading ReLU] + interleaved Conv/BN(+ReLU) with a
+    pool inserted at ``pool_before`` (conv index), ending PRE-ReLU."""
+
+    features: tuple
+    pool_before: int = -1  # insert 2x2/2 maxpool before this conv index
+    leading_relu: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        if self.leading_relu:
+            x = nn.relu(x)
+        for i, f in enumerate(self.features):
+            if i == self.pool_before:
+                x = _maxpool(x)
+            if i > 0:
+                x = nn.relu(x)
+            x = nn.Conv(f, (3, 3), padding="SAME", use_bias=True, dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
+        return x  # pre-ReLU, like the published slice outputs
+
+
+class _Slice5(nn.Module):
+    """fc6/fc7: stride-1 3x3 maxpool + dilated conv1024 + 1x1 conv1024
+    (bias, no BN, no ReLU — published slice5 layout)."""
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.max_pool(x, (3, 3), (1, 1), "SAME")
+        x = nn.Conv(1024, (3, 3), kernel_dilation=(6, 6), padding="SAME",
+                    use_bias=True, dtype=self.dtype)(x)
+        return nn.Conv(1024, (1, 1), use_bias=True, dtype=self.dtype)(x)
+
+
+class _DoubleConvBN(nn.Module):
+    """Published upconv block: 1x1 -> BN -> ReLU -> 3x3 -> BN -> ReLU."""
+
+    mid: int
+    out: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.mid, (1, 1), use_bias=True, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Conv(self.out, (3, 3), padding="SAME", use_bias=True, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=True, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class CRAFTPublished(nn.Module):
+    """CRAFT with the published torch dataflow, for imported weights.
+
+    Input: (B, H, W, 3) ImageNet-normalized, H/W multiples of 32 (gray
+    inputs: repeat to 3 channels first — use ``fold_gray_stem`` for the
+    serving path). Output: (B, H/2, W/2, 2) raw region/affinity scores
+    (published semantics: no sigmoid; values approximately in [0, 1]).
+    """
+
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # torchvision vgg16_bn feature indices in comments
+        s1 = _BNConvSeq((64, 64, 128, 128), pool_before=2,
+                        dtype=self.dtype, name="slice1")(x)          # 0-11: 128 @ /2
+        s2 = _BNConvSeq((256, 256), pool_before=0, leading_relu=True,
+                        dtype=self.dtype, name="slice2")(s1)         # 12-18: 256 @ /4
+        s3 = _BNConvSeq((256, 512, 512), pool_before=1, leading_relu=True,
+                        dtype=self.dtype, name="slice3")(s2)         # 19-28: 512 @ /8
+        s4 = _BNConvSeq((512, 512, 512), pool_before=1, leading_relu=True,
+                        dtype=self.dtype, name="slice4")(s3)         # 29-38: 512 @ /16
+        fc7 = _Slice5(dtype=self.dtype, name="slice5")(s4)           # 1024 @ /16
+
+        y = jnp.concatenate([fc7, s4], axis=-1)                      # 1536 @ /16
+        y = _DoubleConvBN(512, 256, self.dtype, name="upconv1")(y)
+        y = jnp.concatenate([_upsample_to(y, s3), s3], axis=-1)      # 768 @ /8
+        y = _DoubleConvBN(256, 128, self.dtype, name="upconv2")(y)
+        y = jnp.concatenate([_upsample_to(y, s2), s2], axis=-1)      # 384 @ /4
+        y = _DoubleConvBN(128, 64, self.dtype, name="upconv3")(y)
+        y = jnp.concatenate([_upsample_to(y, s1), s1], axis=-1)      # 192 @ /2
+        y = _DoubleConvBN(64, 32, self.dtype, name="upconv4")(y)
+
+        h = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype)(y))
+        h = nn.relu(nn.Conv(32, (3, 3), padding="SAME", dtype=self.dtype)(h))
+        h = nn.relu(nn.Conv(16, (3, 3), padding="SAME", dtype=self.dtype)(h))
+        h = nn.relu(nn.Conv(16, (1, 1), dtype=self.dtype)(h))
+        out = nn.Conv(2, (1, 1), dtype=self.dtype)(h)
+        return out.astype(jnp.float32)

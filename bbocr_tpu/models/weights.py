@@ -13,10 +13,10 @@ matches the published "generation 2" model exactly when built with
   fold into our single bias (same i,f,g,o gate order);
 - torch Linear (out, in) -> flax kernel (in, out).
 
-The CRAFT detector is NOT imported here: the published VGG16-BN slice taps
-sit mid-stage and pre-ReLU, which differs from this rebuild's stage-aligned
-skip taps, so a state-dict remap would not reproduce published score maps.
-Detector weights come from this framework's own training (cli/train.py).
+The CRAFT detector imports via :func:`import_craft_from_torch` into the
+``CRAFTPublished`` variant (``models.craft``), which reproduces the
+published mid-stage pre-ReLU slice taps exactly; the from-scratch ``CRAFT``
+keeps stage-aligned taps and is trained by cli/train.py.
 
 Accepts either a real ``torch.load`` result (any mapping of str ->
 tensor/ndarray) — no torch import required here.
@@ -111,6 +111,76 @@ def import_crnn_from_torch(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     }
     batch_stats = {"VGGFeatures_0": vgg_stats}
     return {"params": params, "batch_stats": batch_stats}
+
+
+# Published CRAFT basenet slice layout: torchvision vgg16_bn feature
+# indices, kept as module names by the published Sequential assembly
+# (state-dict keys like ``basenet.slice3.24.weight``). Convs and BNs per
+# slice; slice outputs are PRE-ReLU after the listed final BN.
+_CRAFT_SLICES = {
+    "slice1": ([0, 3, 7, 10], [1, 4, 8, 11]),
+    "slice2": ([14, 17], [15, 18]),
+    "slice3": ([20, 24, 27], [21, 25, 28]),
+    "slice4": ([30, 34, 37], [31, 35, 38]),
+}
+
+
+def import_craft_from_torch(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
+    """Published CRAFT state dict (craft_mlt_25k layout) -> flax variables
+    for ``CRAFTPublished``. Inference-only (BatchNorm stats frozen)."""
+    sd = _strip_prefixes(state_dict)
+
+    def conv(base: str) -> Dict[str, np.ndarray]:
+        return {
+            "kernel": sd[f"{base}.weight"].transpose(2, 3, 1, 0),
+            "bias": sd[f"{base}.bias"],
+        }
+
+    def bn(base: str):
+        p = {"scale": sd[f"{base}.weight"], "bias": sd[f"{base}.bias"]}
+        s = {"mean": sd[f"{base}.running_mean"], "var": sd[f"{base}.running_var"]}
+        return p, s
+
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    for name, (convs, bns) in _CRAFT_SLICES.items():
+        sp: Dict[str, Any] = {}
+        ss: Dict[str, Any] = {}
+        for i, ci in enumerate(convs):
+            sp[f"Conv_{i}"] = conv(f"basenet.{name}.{ci}")
+        for i, bi in enumerate(bns):
+            p, s = bn(f"basenet.{name}.{bi}")
+            sp[f"BatchNorm_{i}"] = p
+            ss[f"BatchNorm_{i}"] = s
+        params[name] = sp
+        stats[name] = ss
+    params["slice5"] = {
+        "Conv_0": conv("basenet.slice5.1"),
+        "Conv_1": conv("basenet.slice5.2"),
+    }
+    for u in range(1, 5):
+        p0, s0 = bn(f"upconv{u}.conv.1")
+        p1, s1 = bn(f"upconv{u}.conv.4")
+        params[f"upconv{u}"] = {
+            "Conv_0": conv(f"upconv{u}.conv.0"),
+            "Conv_1": conv(f"upconv{u}.conv.3"),
+            "BatchNorm_0": p0,
+            "BatchNorm_1": p1,
+        }
+        stats[f"upconv{u}"] = {"BatchNorm_0": s0, "BatchNorm_1": s1}
+    for i, ti in enumerate((0, 2, 4, 6, 8)):
+        params[f"Conv_{i}"] = conv(f"conv_cls.{ti}")
+    return {"params": params, "batch_stats": stats}
+
+
+def load_craft_torch_checkpoint(path: str) -> Dict[str, Any]:
+    """Convenience: torch.load the published .pth and convert."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return import_craft_from_torch(sd)
 
 
 def load_crnn_torch_checkpoint(path: str) -> Dict[str, Any]:

@@ -90,12 +90,22 @@ class OCREngine:
         fan-out (SURVEY.md §2.8): batch data-parallel over ICI."""
         self.config = config
         self.charset = charset
-        self.craft = CRAFT(dtype=config.compute_dtype)
+        # Param-tree sniffing: imported published checkpoints (see
+        # models.weights.import_craft_from_torch) carry the torch slice
+        # layout and must run the published dataflow.
+        published = isinstance(craft_params, dict) and "slice1" in craft_params.get("params", {})
+        if published:
+            from bbocr_tpu.models.craft import CRAFTPublished
+
+            self.craft = CRAFTPublished(dtype=config.compute_dtype)
+        else:
+            self.craft = CRAFT(dtype=config.compute_dtype)
         self.crnn = CRNN(num_classes=charset.num_classes, dtype=config.compute_dtype)
         # Serving stem: detect consumes the raw gray canvas directly, with
         # channel-repeat + /255 + ImageNet normalize folded into conv1
-        # (exact — see models.weights.fold_gray_stem).
-        self._fold = bool(config.fold_gray_stem)
+        # (exact — see models.weights.fold_gray_stem). The published variant
+        # keeps the reference preprocessing path (no folded stem).
+        self._fold = bool(config.fold_gray_stem) and not published
         if self._fold:
             from bbocr_tpu.models.weights import fold_gray_stem
 
