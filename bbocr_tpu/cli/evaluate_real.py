@@ -125,6 +125,7 @@ def evaluate_real(
     limit: Optional[int] = None,
     books_filter: Optional[Sequence[str]] = None,
     detect_pool: int = 1,
+    reread_conf_ths: float = 0.5,
 ) -> Dict[str, Any]:
     from bbocr_tpu.runtime.engine import EngineConfig, OCREngine
     from bbocr_tpu.decode.boxes import group_lines
@@ -163,9 +164,11 @@ def evaluate_real(
                 path = os.path.join(real_dir, os.path.dirname(key), img_name)
             img = _load_gray(path)
             if auto_rotate:
-                res, k = read_with_rotations(engine, img)
+                res, k = read_with_rotations(engine, img, reread_conf_ths=reread_conf_ths)
             else:
                 res, k = engine.readtext(img), 0
+                if reread_conf_ths > 0 and res:
+                    res = engine.reread_low_conf(img, res, conf_ths=reread_conf_ths)
             rotations.append(k)
             texts.append(" ".join(t for _, t, _ in res))
             results_dump.extend((t, round(float(c), 3)) for _, t, c in res)
@@ -280,6 +283,8 @@ def main():
     p.add_argument("--out", default=None)
     p.add_argument("--detect-pool", type=int, default=1,
                    help="on-device pooling before CRAFT on hi-res canvases")
+    p.add_argument("--no-reread", action="store_true",
+                   help="disable the low-confidence full-res re-read pass")
     args = p.parse_args()
     summary = evaluate_real(
         args.real_dir,
@@ -289,6 +294,7 @@ def main():
         limit=args.limit,
         books_filter=args.books,
         detect_pool=args.detect_pool,
+        reread_conf_ths=0.0 if args.no_reread else 0.5,
     )
     report = {k: v for k, v in summary.items() if k != "details"}
     print(json.dumps(report, indent=2))

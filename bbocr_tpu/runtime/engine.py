@@ -496,50 +496,57 @@ class OCREngine:
     # High-res ISBN re-read (BASELINE config 3)
     # ------------------------------------------------------------------
 
-    def isbn_logits(self, image: np.ndarray, quad: np.ndarray, bucket_w: int = 384):
-        """Recognition logits for one quad sampled from the FULL-RES image.
+    def lines_logits(self, image: np.ndarray, quads, bucket_w: int = 384):
+        """Recognition logits for quads re-sampled from the FULL-RES image.
 
         The serving path rectifies crops from the letterboxed canvas, where
-        an ISBN line on a 3000px photo may be ~8px tall; this entry
-        re-samples the crop from the original pixels (host ROI crop around
-        the quad, static ROI canvas, one recognition dispatch at a wide
-        bucket). Returns (logits (T, C) float32, valid_frames int).
+        a small line on a 3000px photo may be ~8px tall; this entry
+        re-samples each crop from the original pixels (host ROI crop around
+        the quad, static ROI canvases batched into ONE recognition dispatch
+        at a wide bucket). Returns (logits (N, T, C) float32,
+        frames (N,) int — valid frame counts).
         """
         ROI_H, ROI_W = 128, 1024
         arr = np.asarray(image, np.float32)
         if arr.ndim == 3:
             arr = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
-        q = np.asarray(quad, np.float64)
-        margin = 8.0
-        x0 = max(0, int(np.floor(q[:, 0].min() - margin)))
-        y0 = max(0, int(np.floor(q[:, 1].min() - margin)))
-        x1 = min(arr.shape[1], int(np.ceil(q[:, 0].max() + margin)))
-        y1 = min(arr.shape[0], int(np.ceil(q[:, 1].max() + margin)))
-        roi = arr[y0:y1, x0:x1]
-        if roi.size == 0:
-            roi = arr
-            x0 = y0 = 0
-        rh, rw = roi.shape
-        scale = min(1.0, ROI_H / rh, ROI_W / rw)
-        if scale < 1.0:
-            roi = _host_resize(roi, max(1, int(rh * scale)), max(1, int(rw * scale)))
-        canvas = np.zeros((1, ROI_H, ROI_W), np.float32)
-        canvas[0, : roi.shape[0], : roi.shape[1]] = roi
-        qq = (q - [x0, y0]) * scale
+        n = len(quads)
+        n_pad = bucketing.pad_count(n, (1, 2, 4, 8))
+        canvas = np.zeros((n_pad, ROI_H, ROI_W), np.float32)
+        homos = np.zeros((n_pad, 3, 3), np.float32)
+        true_ws = np.ones(n_pad, np.int32)
+        for k, quad in enumerate(quads):
+            q = np.asarray(quad, np.float64)
+            margin = 8.0
+            x0 = max(0, int(np.floor(q[:, 0].min() - margin)))
+            y0 = max(0, int(np.floor(q[:, 1].min() - margin)))
+            x1 = min(arr.shape[1], int(np.ceil(q[:, 0].max() + margin)))
+            y1 = min(arr.shape[0], int(np.ceil(q[:, 1].max() + margin)))
+            roi = arr[y0:y1, x0:x1]
+            if roi.size == 0:
+                roi = arr
+                x0 = y0 = 0
+            rh, rw = roi.shape
+            scale = min(1.0, ROI_H / rh, ROI_W / rw)
+            if scale < 1.0:
+                roi = _host_resize(roi, max(1, int(rh * scale)), max(1, int(rw * scale)))
+            canvas[k, : roi.shape[0], : roi.shape[1]] = roi
+            qq = (q - [x0, y0]) * scale
+            w_src = max(np.linalg.norm(qq[1] - qq[0]), np.linalg.norm(qq[2] - qq[3]))
+            h_src = max(np.linalg.norm(qq[3] - qq[0]), np.linalg.norm(qq[2] - qq[1]))
+            true_ws[k] = int(np.clip(round(INPUT_HEIGHT * w_src / max(h_src, 1e-6)), 8, bucket_w))
+            homos[k] = quad_to_rect_homography(qq, true_ws[k])
 
-        w_src = max(np.linalg.norm(qq[1] - qq[0]), np.linalg.norm(qq[2] - qq[3]))
-        h_src = max(np.linalg.norm(qq[3] - qq[0]), np.linalg.norm(qq[2] - qq[1]))
-        true_w = int(np.clip(round(INPUT_HEIGHT * w_src / max(h_src, 1e-6)), 8, bucket_w))
-        homo = quad_to_rect_homography(qq, true_w)
-
-        key = ("isbn", ROI_H, ROI_W, bucket_w)
+        key = ("reread", n_pad, ROI_H, ROI_W, bucket_w)
         if not hasattr(self, "_fast_cache"):
             self._fast_cache = {}
         if key not in self._fast_cache:
             crnn = self.crnn
 
             def prog(params, roi_b, homo_b, tw):
-                crops = warp_crops(roi_b, homo_b, jnp.zeros((1,), jnp.int32), tw, bucket_w)
+                crops = warp_crops(
+                    roi_b, homo_b, jnp.arange(roi_b.shape[0], dtype=jnp.int32), tw, bucket_w
+                )
                 x = (crops / 127.5 - 1.0)[..., None]
                 return crnn.apply(params, x)
 
@@ -548,10 +555,59 @@ class OCREngine:
             logits = self._fast_cache[key](
                 self.crnn_params,
                 jnp.asarray(canvas),
-                jnp.asarray(homo[None].astype(np.float32)),
-                jnp.asarray([true_w], jnp.int32),
+                jnp.asarray(homos),
+                jnp.asarray(true_ws),
             )
-        return np.asarray(logits[0], np.float32), max(true_w // 4 - 1, 1)
+        frames = np.maximum(true_ws[:n] // 4 - 1, 1)
+        return np.asarray(logits[:n], np.float32), frames
+
+    def isbn_logits(self, image: np.ndarray, quad: np.ndarray, bucket_w: int = 384):
+        """Single-quad full-res logits (see :meth:`lines_logits`)."""
+        logits, frames = self.lines_logits(image, [quad], bucket_w)
+        return logits[0], int(frames[0])
+
+    def reread_low_conf(self, image: np.ndarray, results, *,
+                        conf_ths: float = 0.5, max_rereads: int = 8,
+                        bucket_w: int = 384, beam_width: int = 8):
+        """Low-confidence 2x re-read for ALL fields.
+
+        Generalizes :meth:`reread_isbn`'s mechanism: every result under
+        ``conf_ths`` is re-sampled from the original pixels (sharper than
+        the letterboxed canvas) and decoded with prefix beam search
+        (``decode/beam.py``); the reading with the better length-normalized
+        confidence wins. One batched dispatch for all re-read crops.
+        Returns a new results list (same quads/order).
+        """
+        from bbocr_tpu.decode.beam import ctc_beam_decode
+
+        idxs = [i for i, (_, t, c) in enumerate(results) if c < conf_ths and t]
+        idxs.sort(key=lambda i: results[i][2])
+        idxs = idxs[:max_rereads]
+        if not idxs:
+            return list(results)
+        logits, frames = self.lines_logits(
+            image, [results[i][0] for i in idxs], bucket_w
+        )
+        out = list(results)
+        for k, i in enumerate(idxs):
+            quad, text, conf = results[i]
+            lp = logits[k, : frames[k]].astype(np.float64)
+            m = lp.max(-1, keepdims=True)
+            lp = lp - (m + np.log(np.exp(lp - m).sum(-1, keepdims=True)))
+            labels, _ = ctc_beam_decode(lp, beam_width=beam_width)
+            text2 = self.charset.decode_ids(labels)
+            # greedy-path confidence of the re-read (same EasyOCR-style
+            # product the first read carries)
+            best = lp.argmax(-1)
+            prev = np.concatenate([[-1], best[:-1]])
+            keep = (best != 0) & (best != prev)
+            conf2 = float(np.exp(lp.max(-1)[keep].sum())) if keep.any() else 0.0
+            # products shrink with emitted length: compare per-char
+            # geometric means so wider re-read crops aren't penalized
+            n1, n2 = max(len(text), 1), max(len(text2), 1)
+            if text2 and conf2 ** (1.0 / n2) > conf ** (1.0 / n1):
+                out[i] = (quad, text2, conf2)
+        return out
 
     def reread_isbn(self, image: np.ndarray, results) -> str | None:
         """Digit-biased high-res re-read over ISBN-suspect boxes.

@@ -27,11 +27,15 @@ def rotation_score(results) -> float:
     return sum(len(t) * c for _, t, c in results if c > 0.4 and len(t.strip()) > 2)
 
 
-def read_with_rotations(engine, img: np.ndarray, rotations=(0, 1, 2, 3)) -> Tuple[List, int]:
+def read_with_rotations(
+    engine, img: np.ndarray, rotations=(0, 1, 2, 3), reread_conf_ths: float = 0.0
+) -> Tuple[List, int]:
     """OCR under each np.rot90 k, keep the best by rotation_score.
 
     Returns (results, chosen_k); result boxes are in the ROTATED image's
-    coordinate frame.
+    coordinate frame. ``reread_conf_ths`` > 0 applies the engine's
+    low-confidence full-res re-read to the winning rotation only (the
+    re-read needs the matching image frame, hence here and not per-k).
     """
     best, best_score, best_k = [], -1.0, 0
     for k in rotations:
@@ -40,4 +44,9 @@ def read_with_rotations(engine, img: np.ndarray, rotations=(0, 1, 2, 3)) -> Tupl
         score = rotation_score(res)
         if score > best_score:
             best, best_score, best_k = res, score, k
+    if reread_conf_ths > 0 and best and hasattr(engine, "reread_low_conf"):
+        rot = np.rot90(img, best_k) if best_k else img
+        best = engine.reread_low_conf(
+            np.ascontiguousarray(rot), best, conf_ths=reread_conf_ths
+        )
     return best, best_k
