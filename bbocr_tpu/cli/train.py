@@ -25,6 +25,9 @@ def _warm_backend() -> None:
     import jax
     import jax.numpy as jnp
 
+    from bbocr_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
     x = jnp.ones((8, 8))
     # host readback, NOT block_until_ready: the relayed backend's
     # block_until_ready returns before the compile actually lands

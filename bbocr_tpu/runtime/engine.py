@@ -88,6 +88,9 @@ class OCREngine:
         over ``tp`` via :func:`bbocr_tpu.parallel.sharding.param_shardings`.
         This is the SPMD replacement for the reference's thread-pool batch
         fan-out (SURVEY.md §2.8): batch data-parallel over ICI."""
+        from bbocr_tpu.utils.env import enable_compilation_cache
+
+        enable_compilation_cache()  # one-time-per-machine compiles
         self.config = config
         self.charset = charset
         # Param-tree sniffing: imported published checkpoints (see
@@ -628,6 +631,34 @@ class OCREngine:
             if isbn:
                 return isbn
         return None
+
+    def warmup(self, images: Any = None) -> int:
+        """Pre-compile the serving menu so real traffic never hits a cold
+        XLA compile (round-2 bench: first-hit shapes inside the timed
+        region cost up to 83 s on relayed links).
+
+        ``images``: optional representative photos; defaults to synthetic
+        gradients shaped for each configured canvas. Runs one batch call
+        over all of them plus one single-photo call each (single calls
+        merge width buckets = distinct shapes). With the persistent
+        compilation cache enabled this is fast after the first ever run.
+        Returns the number of warm calls made.
+        """
+        if images is None:
+            rng = np.random.default_rng(0)
+            images = []
+            for c in self.config.canvases:
+                # content-free texture still exercises letterbox/detect;
+                # recognize shapes get compiled by whatever boxes fire
+                img = rng.uniform(0, 255, (c.height, c.width)).astype(np.float32)
+                images.append(img)
+        calls = 0
+        self.readtext_batch(list(images))
+        calls += 1
+        for img in images:
+            self.readtext(img)
+            calls += 1
+        return calls
 
     def timings(self):
         """Per-stage wall-clock stats (letterbox/detect/boxes/rectify/

@@ -111,6 +111,7 @@ class ScannerService:
         self.app = App()
         self._register_routes()
         self._maybe_warm_ollama()
+        self._maybe_warm_engine()
 
     def _maybe_warm_ollama(self) -> None:
         """Opt-in startup model warm-up (reference BB_OCR_OLLAMA_WARMUP,
@@ -130,6 +131,31 @@ class ScannerService:
                           "prompt": "ping", "stream": False},
                     timeout=(5, 30),
                 )
+            except Exception:
+                pass
+
+        import threading
+
+        threading.Thread(target=warm, daemon=True).start()
+
+    def _maybe_warm_engine(self) -> None:
+        """Opt-in OCR-engine pre-compile (BB_OCR_ENGINE_WARMUP=1): compiles
+        the serving shape menu in a daemon thread at startup so the first
+        user request never pays a 10-80s relayed XLA compile. The TPU-side
+        analog of the reference's Ollama warm-up."""
+        from bbocr_tpu.utils.env import env_flag
+
+        if not env_flag("BB_OCR_ENGINE_WARMUP"):
+            return
+
+        def warm():
+            try:
+                from bbocr_tpu.extract.extractor import _shared_engine
+
+                engine = _shared_engine()
+                inner = getattr(engine, "engine", engine)  # unwrap BatchingOCR
+                if hasattr(inner, "warmup"):
+                    inner.warmup()
             except Exception:
                 pass
 

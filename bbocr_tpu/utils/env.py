@@ -38,6 +38,34 @@ def sync_platform_from_env() -> None:
 
 
 @functools.lru_cache(maxsize=None)
+def enable_compilation_cache(path: str = "") -> None:
+    """Point XLA's persistent compilation cache at a local directory.
+
+    Compiles over the relayed TPU link cost 10-80 s EACH; with the disk
+    cache, every (program, shape) pays that once per machine instead of
+    once per process — serving restarts, bench runs, and training relaunches
+    then start warm. Opt out with BB_OCR_COMPILE_CACHE=0; set a custom dir
+    via the same variable. Safe no-op on backends without serialization
+    support. Must run before the first compile to help that process.
+    """
+    import jax
+
+    raw = os.getenv("BB_OCR_COMPILE_CACHE", "").strip()
+    if raw.lower() in ("0", "false", "off", "no"):
+        return
+    cache_dir = path or (
+        raw if raw and raw.lower() not in ("1", "true", "yes", "on")
+        else os.path.expanduser("~/.cache/bbocr_tpu/xla")
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+@functools.lru_cache(maxsize=None)
 def default_backend() -> str:
     import jax
 

