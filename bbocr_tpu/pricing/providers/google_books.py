@@ -1,10 +1,12 @@
 """Google Books volumes API provider (metadata-only offers).
 
-Query construction mirrors the reference
-(``pipeline_demo/pricing_api/pricing_api/providers/google_books.py``):
-``isbn:`` term when an ISBN is known, else intitle/inauthor/inpublisher
-terms; maxResults=5; optional GOOGLE_BOOKS_API_KEY; volumeInfo mapped into
-the offer contract with currency/amount None and source "metadata".
+Query grammar mirrors the reference
+(``pipeline_demo/pricing_api/pricing_api/providers/google_books.py:9-65``):
+isbn:/intitle:/inauthor:/inpublisher: terms ALL included when known,
+plus-joined with spaces replaced by '+', bare title as last resort;
+maxResults=5; optional GOOGLE_BOOKS_API_KEY; volumeInfo mapped into the
+offer contract (currency/amount None, source "metadata") with the
+reference's enrichment extras (description/page_count/categories/language).
 """
 
 from __future__ import annotations
@@ -31,25 +33,27 @@ class GoogleBooksProvider:
         publication_date: Optional[str],
     ) -> List[Dict[str, Any]]:
         terms: List[str] = []
-        isbn = isbn_13 or isbn_10
-        if isbn:
-            terms.append(f"isbn:{isbn}")
-        else:
-            if title:
-                terms.append(f"intitle:{title}")
-            if authors:
-                terms.append(f"inauthor:{authors[0]}")
-            if publisher:
-                terms.append(f"inpublisher:{publisher}")
-        if not terms:
+        if isbn_13:
+            terms.append(f"isbn:{isbn_13}")
+        if isbn_10:
+            terms.append(f"isbn:{isbn_10}")
+        if title:
+            terms.append(f"intitle:{title}")
+        for a in authors or []:
+            if a:
+                terms.append(f"inauthor:{a}")
+        if publisher:
+            terms.append(f"inpublisher:{publisher}")
+        q = "+".join(t.replace(" ", "+") for t in terms) or (title or "")
+        if not q:
             return []
 
-        params: Dict[str, Any] = {"q": " ".join(terms), "maxResults": 5}
+        params: Dict[str, Any] = {"q": q, "maxResults": 5}
         api_key = os.getenv("GOOGLE_BOOKS_API_KEY")
         if api_key:
             params["key"] = api_key
 
-        async with httpx.AsyncClient(timeout=8.0) as client:
+        async with httpx.AsyncClient(timeout=6.0) as client:
             resp = await client.get(API_URL, params=params)
             resp.raise_for_status()
             data = resp.json()
@@ -61,20 +65,24 @@ class GoogleBooksProvider:
                 d.get("type"): d.get("identifier")
                 for d in info.get("industryIdentifiers", []) or []
             }
-            offers.append(
-                make_offer(
-                    "google_books",
-                    listing_id=item.get("id"),
-                    title=info.get("title"),
-                    authors=info.get("authors") or [],
-                    publisher=info.get("publisher"),
-                    publication_date=info.get("publishedDate"),
-                    isbn_13=ids.get("ISBN_13"),
-                    isbn_10=ids.get("ISBN_10"),
-                    currency=None,
-                    amount=None,
-                    url=info.get("infoLink") or info.get("canonicalVolumeLink"),
-                    source="metadata",
-                )
+            offer = make_offer(
+                "google_books",
+                listing_id=item.get("id"),
+                title=info.get("title"),
+                authors=info.get("authors") or [],
+                publisher=info.get("publisher"),
+                publication_date=info.get("publishedDate"),
+                isbn_13=ids.get("ISBN_13"),
+                isbn_10=ids.get("ISBN_10"),
+                currency=None,
+                amount=None,
+                url=info.get("infoLink") or item.get("selfLink"),
+                source="metadata",
             )
+            # reference enrichment extras (google_books.py:54-58)
+            offer["description"] = info.get("description")
+            offer["page_count"] = info.get("pageCount")
+            offer["categories"] = info.get("categories")
+            offer["language"] = info.get("language")
+            offers.append(offer)
         return offers
