@@ -415,9 +415,17 @@ class OCREngine:
             dev_lengths = jnp.asarray(np.maximum(lengths, 1))
             valid = np.zeros((cap,), bool)
             valid[: len(order)] = True
+            dev_valid = jnp.asarray(valid)
+            if self._bsh is not None:
+                # warp_crops output follows the canvas-batch sharding, not
+                # the crop-batch dp spec _recognize's in_shardings pins;
+                # reshard explicitly (GSPMD inserts the collective).
+                all_crops = jax.device_put(all_crops, self._bsh)
+                dev_lengths = jax.device_put(dev_lengths, self._bsh)
+                dev_valid = jax.device_put(dev_valid, self._bsh)
             with self.timers.stage("recognize"):
                 ids, lens, conf = self._recognize(
-                    self.crnn_params, all_crops, dev_lengths, jnp.asarray(valid)
+                    self.crnn_params, all_crops, dev_lengths, dev_valid
                 )
             ids = np.asarray(ids)
             lens = np.asarray(lens)
