@@ -68,6 +68,7 @@ class BookMetadataExtractor:
         isbn_reread: bool = True,
         auto_rotate: Optional[bool] = None,
         reread_low_conf: bool = True,
+        fast_single: Optional[bool] = None,
     ):
         """``auto_rotate``: re-read each photo at the four right-angle
         rotations and keep the most confidently read one (the reference's
@@ -81,7 +82,16 @@ class BookMetadataExtractor:
         ``reread_low_conf``: re-read results under confidence 0.5 from the
         full-resolution pixels with beam decode (engine.reread_low_conf);
         one extra batched dispatch per photo, large recall win on small
-        print."""
+        print.
+
+        ``fast_single``: route single-photo OCR through the engine's
+        single-dispatch program (engine.readtext_fast — one XLA dispatch
+        instead of detect/rectify/recognize round trips; p90 179 ms vs
+        1516 ms full path, docs/EVAL.md). Default ``None`` = auto: fast
+        path for upright webcam-shaped captures (long side < 1200px, no
+        rotation vote), full path for camera photos where the measured
+        quality configuration (rotations + rotated-quad rectification)
+        applies. The low-confidence full-res re-read composes with both."""
         self.model = model
         self.ocr_engine = (ocr_engine or "tpu").lower()
         self.use_preprocessing = use_preprocessing
@@ -94,6 +104,7 @@ class BookMetadataExtractor:
         self.isbn_reread = bool(isbn_reread)
         self.auto_rotate = auto_rotate  # None = per-image (camera-shaped)
         self.reread_low_conf = bool(reread_low_conf)
+        self.fast_single = fast_single  # None = auto (upright small images)
         self.prompt_template = prompt_template if prompt_template is not None else PROMPT_TEMPLATE
         self.ollama_base_url = ollama_base_url
         self._trace_sink: Optional[TraceSink] = None
@@ -256,12 +267,17 @@ class BookMetadataExtractor:
                     if self.auto_rotate is not None
                     else orig_long_side >= 1200  # camera photos arrive sideways
                 )
+                use_fast = (
+                    self.fast_single
+                    if self.fast_single is not None
+                    else (not rotate and orig_long_side < 1200)
+                ) and hasattr(eng, "readtext_fast")
                 if rotate:
                     from bbocr_tpu.runtime.orient import read_with_rotations
 
                     res, _k = read_with_rotations(eng, image, reread_conf_ths=reread_ths)
                 else:
-                    res = eng.readtext(image)
+                    res = eng.readtext_fast(image) if use_fast else eng.readtext(image)
                     if reread_ths > 0 and res:
                         try:
                             res = eng.reread_low_conf(image, res, conf_ths=reread_ths)

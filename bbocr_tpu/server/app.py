@@ -169,6 +169,7 @@ class ScannerService:
 
     def _build_extractor(self, *, model, ocr_engine, use_preprocessing, edge_crop, auto_crop, llm_backend):
         from bbocr_tpu.extract import BookMetadataExtractor
+        from bbocr_tpu.utils.env import env_flag
 
         engine = (ocr_engine or "tpu").lower()
         if engine == "easyocr":  # compat alias: the TPU engine replaces EasyOCR
@@ -183,6 +184,10 @@ class ScannerService:
             ollama_timeout_seconds=180.0,
             llm_backend=str(llm_backend or "ollama"),
             ollama_base_url=self.ollama_base_url,
+            # BB_OCR_FAST_SINGLE=1 forces every request through the
+            # single-dispatch OCR program; unset keeps the extractor's
+            # per-image auto policy (fast for upright webcam captures).
+            fast_single=True if env_flag("BB_OCR_FAST_SINGLE") else None,
         )
 
     def _start_job(self, job_id: str, image_paths: List[str], params: Dict[str, Any]) -> None:

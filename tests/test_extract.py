@@ -272,3 +272,64 @@ class TestLineProminenceHeuristics:
 
         got = find_isbns("colophon 15809787853601424 printed")
         assert got["isbn_13"] == "9787853601424"
+
+
+class RoutingFakeEngine:
+    """Records which engine entry point the extractor's OCR routing picks."""
+
+    def __init__(self):
+        self.calls = []
+        q = np.array([[0, 0], [40, 0], [40, 10], [0, 10]], np.float32)
+        self._res = [(q, "HELLO", 0.9), (q + 20, "WORLD", 0.35)]
+
+    def readtext(self, image):
+        self.calls.append("readtext")
+        return list(self._res)
+
+    def readtext_fast(self, image):
+        self.calls.append("fast")
+        return list(self._res)
+
+    def reread_low_conf(self, image, results, *, conf_ths=0.5, **kw):
+        self.calls.append("reread")
+        return [(q, t, max(c, 0.8)) for q, t, c in results]
+
+
+class TestFastPathRouting:
+    """Single-photo OCR routing (round-2 VERDICT #5: ship readtext_fast)."""
+
+    def _ex(self, **kw):
+        return make_extractor(
+            engine=RoutingFakeEngine(), llm_backend="heuristic",
+            use_preprocessing=False, **kw,
+        )
+
+    def test_small_upright_image_uses_fast_path(self):
+        ex = self._ex()
+        img = np.full((480, 640), 200.0, np.float32)  # webcam capture
+        text, lines, infos = ex._ocr_text(img, image_index=0)
+        assert ex._engine.calls[0] == "fast"
+        assert "readtext" not in ex._engine.calls
+        assert "HELLO" in text
+        # the low-confidence re-read composes with the fast path
+        assert "reread" in ex._engine.calls
+
+    def test_camera_photo_keeps_full_rotation_path(self):
+        ex = self._ex()
+        img = np.full((1600, 1200), 200.0, np.float32)  # camera-shaped
+        ex._ocr_text(img, image_index=1)
+        assert "fast" not in ex._engine.calls
+        assert ex._engine.calls.count("readtext") == 4  # rotation vote
+
+    def test_fast_single_false_forces_full_path(self):
+        ex = self._ex(fast_single=False)
+        img = np.full((480, 640), 200.0, np.float32)
+        ex._ocr_text(img, image_index=0)
+        assert "fast" not in ex._engine.calls
+        assert "readtext" in ex._engine.calls
+
+    def test_fast_single_true_overrides_for_upright(self):
+        ex = self._ex(fast_single=True, auto_rotate=False)
+        img = np.full((1600, 1200), 200.0, np.float32)
+        ex._ocr_text(img, image_index=1)
+        assert ex._engine.calls[0] == "fast"
