@@ -356,10 +356,14 @@ def train_vlm(args) -> None:
 
     h, w = int(str(args.page_h).split(",")[0]), int(str(args.page_w).split(",")[0])
 
+    aux_w = float(getattr(args, "vlm_ctc_weight", 0.0) or 0.0)
+
     def make_batch(seed):
         gen = PageGenerator(SynthConfig(), seed=seed)
-        pages, tokens, lens = gen.batch_labeled(args.batch, h, w, target=args.vlm_target)
-        return pages.astype(np.uint8), tokens, lens
+        out = gen.batch_labeled(
+            args.batch, h, w, target=args.vlm_target, with_ctc=aux_w > 0
+        )
+        return (out[0].astype(np.uint8),) + tuple(out[1:])
 
     # fork workers BEFORE the first jax computation (see _prefetch)
     q, stop = _prefetch(make_batch, n_threads=args.data_threads)
@@ -369,16 +373,22 @@ def train_vlm(args) -> None:
         jax.random.PRNGKey(args.seed),
         jnp.zeros((1, h, w, 1), jnp.float32),
         jnp.zeros((1, 8), jnp.int32),
+        with_ctc=aux_w > 0,  # materialize the aux CTC head's params
     )
     if args.init_from:
         from bbocr_tpu.utils.checkpoint import load_params
 
-        params = jax.tree_util.tree_map(jnp.asarray, load_params(args.init_from))
+        loaded = jax.tree_util.tree_map(jnp.asarray, load_params(args.init_from))
+        if aux_w > 0 and "ctc_head" not in loaded.get("params", {}):
+            # resuming a pre-aux checkpoint into the aux recipe: keep the
+            # fresh CTC head, take everything else from the checkpoint
+            loaded["params"]["ctc_head"] = params["params"]["ctc_head"]
+        params = loaded
         print(f"initialized from {args.init_from}", flush=True)
     tx = make_optimizer(_train_config(args))
     opt_state = tx.init(params)
     params, opt_state, start_step = _maybe_resume(args, params, opt_state)
-    step_fn = make_vlm_train_step(model, tx)
+    step_fn = make_vlm_train_step(model, tx, ctc_weight=aux_w)
 
     val_gen = PageGenerator(SynthConfig(), seed=999_999)
     val_pages, val_tokens, val_lens = val_gen.batch_labeled(8, h, w, target=args.vlm_target)
@@ -407,9 +417,9 @@ def train_vlm(args) -> None:
     t0 = time.time()
     losses = []
     for step in range(start_step + 1, args.steps + 1):
-        pages, tokens, lens = q.get()
+        batch = q.get()
         params, opt_state, loss = step_fn(
-            params, opt_state, jnp.asarray(pages), jnp.asarray(tokens), jnp.asarray(lens)
+            params, opt_state, *(jnp.asarray(a) for a in batch)
         )
         losses.append(loss)
         if step % args.log_every == 0 or step == args.steps:
@@ -459,6 +469,11 @@ def main():
                         "cjk requires fonts with CJK coverage)")
     p.add_argument("--neg-ratio", type=float, default=3.0,
                    help="craft loss: weight on background (false-positive) MSE")
+    p.add_argument("--vlm-ctc-weight", type=float, default=0.0,
+                   help="weight of the encoder CTC auxiliary loss (0 = off); "
+                        "grounds the encoder tokens in character identity "
+                        "(round-2: cross-attention never learns to read "
+                        "from the CE loss alone)")
     p.add_argument("--vlm-target", choices=["json", "text"], default="json",
                    help="vlm training target: json = metadata (end task), "
                         "text = literal page transcription (reading curriculum)")

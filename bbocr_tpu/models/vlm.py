@@ -165,9 +165,23 @@ class PageReader(nn.Module):
         ]
         self.out_norm = nn.LayerNorm(dtype=self.dtype)
         self.head = nn.Dense(self.vocab, dtype=jnp.float32)
+        # Auxiliary CTC head over the encoder token grid (round-2 VERDICT
+        # #6: the from-scratch cross-attention never grounds on the glyphs
+        # from the JSON loss alone). Row-major flattening of the H/8 x W/8
+        # grid visits horizontal text lines top-to-bottom, so a CTC
+        # alignment against the page's reading-order transcription exists;
+        # the loss forces encoder tokens to carry character identity, which
+        # the decoder's cross-attention can then exploit. Inference never
+        # applies it (params are lazily absent from pre-aux checkpoints).
+        self.ctc_head = nn.Dense(len(_CHARS) + 1, dtype=jnp.float32)
 
     def encode(self, page):
         return self.encoder(page)
+
+    def encode_ctc(self, page):
+        """(ctx, ctc_logits): encoder tokens + per-token character logits."""
+        ctx = self.encoder(page)
+        return ctx, self.ctc_head(ctx.astype(jnp.float32))
 
     def decode(self, ctx, tokens):
         """ctx (B, S, d); tokens (B, T) -> logits (B, T, vocab)."""
@@ -178,7 +192,10 @@ class PageReader(nn.Module):
             x = blk(x, ctx=ctx, mask=mask)
         return self.head(self.out_norm(x))
 
-    def __call__(self, page, tokens):
+    def __call__(self, page, tokens, with_ctc: bool = False):
+        if with_ctc:
+            ctx, ctc_logits = self.encode_ctc(page)
+            return self.decode(ctx, tokens), ctc_logits
         return self.decode(self.encode(page), tokens)
 
 

@@ -631,7 +631,12 @@ class PageGenerator:
         return arr, _json.dumps(meta, separators=(",", ":")), rendered
 
     def batch_labeled(
-        self, batch_size: int, height: int = 256, width: int = 192, target: str = "json"
+        self,
+        batch_size: int,
+        height: int = 256,
+        width: int = 192,
+        target: str = "json",
+        with_ctc: bool = False,
     ):
         """(B, H, W) pages, (B, L) token ids, (B,) lengths for VLM training.
 
@@ -642,16 +647,31 @@ class PageGenerator:
         unconditional entropy, field accuracy ~3%); transcription pulls the
         cross-attention onto the glyphs first, then the JSON phase
         fine-tunes from it (--init-from).
+
+        ``with_ctc``: additionally return (char_labels (B, Lc), char_lens)
+        — the rendered text charset-encoded for the encoder's CTC auxiliary
+        loss (trainer.vlm_ctc_aux_loss), regardless of ``target``.
         """
+        from bbocr_tpu.models.charset import EN_CHARSET
         from bbocr_tpu.models.vlm import MAX_JSON_LEN, encode_json
 
         pages = np.zeros((batch_size, height, width), np.float32)
         tokens = np.zeros((batch_size, MAX_JSON_LEN), np.int32)
         lens = np.zeros(batch_size, np.int32)
+        texts: List[str] = []
         for i in range(batch_size):
             pages[i], js, rendered = self.render_labeled(height, width)
             tokens[i], lens[i] = encode_json(js if target == "json" else rendered)
-        return pages, tokens, lens
+            texts.append(rendered)
+        if not with_ctc:
+            return pages, tokens, lens
+        encoded = [EN_CHARSET.encode(t)[: MAX_JSON_LEN] for t in texts]
+        char_labels = np.zeros((batch_size, MAX_JSON_LEN), np.int32)
+        char_lens = np.zeros(batch_size, np.int32)
+        for i, ids in enumerate(encoded):
+            char_labels[i, : len(ids)] = ids
+            char_lens[i] = len(ids)
+        return pages, tokens, lens, char_labels, char_lens
 
 
 def _add_gaussian(canvas: np.ndarray, cx: float, cy: float, sigma: float) -> None:

@@ -191,22 +191,52 @@ def vlm_loss(model, params, pages, tokens, tok_lens) -> jnp.ndarray:
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
-def make_vlm_train_step(model, tx: optax.GradientTransformation, mesh: Optional[Mesh] = None):
-    def step(params, opt_state, pages, tokens, tok_lens):
+def vlm_ctc_aux_loss(model, params, pages, char_labels, char_lens) -> jnp.ndarray:
+    """CTC over the row-major encoder token grid vs the page transcription.
+
+    Round-2 VERDICT #6 grounding fix: at d=192 the decoder's cross-attention
+    does not discover reading from the JSON/transcription CE alone; this
+    loss makes every encoder token linearly decodable into the character it
+    sits on, the same signal the CRNN trains with."""
+    _, ctc_logits = model.apply(
+        params, pages.astype(jnp.float32)[..., None], method="encode_ctc"
+    )
+    b, t, _ = ctc_logits.shape
+    logit_pad = jnp.zeros((b, t), jnp.float32)  # every grid token is a frame
+    label_idx = jnp.arange(char_labels.shape[1])[None, :]
+    label_pad = (label_idx >= char_lens[:, None]).astype(jnp.float32)
+    per_seq = optax.ctc_loss(ctc_logits, logit_pad, char_labels, label_pad)
+    return jnp.mean(per_seq / jnp.maximum(char_lens.astype(jnp.float32), 1.0))
+
+
+def make_vlm_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    mesh: Optional[Mesh] = None,
+    ctc_weight: float = 0.0,
+):
+    """``ctc_weight`` > 0 adds the encoder CTC auxiliary loss; the step then
+    takes two extra batch arrays (char_labels (B, Lc), char_lens (B,))."""
+
+    def step(params, opt_state, pages, tokens, tok_lens, *ctc_batch):
         def loss_fn(p):
-            return vlm_loss(model, p, pages, tokens, tok_lens)
+            ce = vlm_loss(model, p, pages, tokens, tok_lens)
+            if ctc_weight > 0.0:
+                ce = ce + ctc_weight * vlm_ctc_aux_loss(model, p, pages, *ctc_batch)
+            return ce
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, new_opt = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), new_opt, loss
 
+    n_in = 5 + (2 if ctc_weight > 0.0 else 0)
     if mesh is None:
         return jax.jit(step, donate_argnums=(0, 1))
     repl = replicate_sharding(mesh)
     bsh = batch_sharding(mesh)
     return jax.jit(
         step,
-        in_shardings=(repl, repl, bsh, bsh, bsh),
+        in_shardings=(repl, repl) + (bsh,) * (n_in - 2),
         out_shardings=(repl, repl, repl),
         donate_argnums=(0, 1),
     )
