@@ -31,34 +31,123 @@ _FONT_DIRS = (
     "/usr/share/fonts",
 )
 
-# Probe set for font usability: every face used for synthesis must render
-# these (letters, digits) as real glyphs — math/symbol faces (cmex, cmsy,
-# STIX size variants) ship partial cmaps and would otherwise inject tofu
-# or wrong glyphs into the training labels.
-_PROBE_CHARS = string.ascii_uppercase + string.ascii_lowercase + string.digits
-
 # TeX math faces whose Unicode cmaps still resolve Latin codepoints to
 # symbol glyphs (verified by rendering): the probe can't catch these.
 _FONT_BLACKLIST = frozenset({"cmex10.ttf", "cmsy10.ttf", "cmmi10.ttf"})
 
 
-def _font_usable(path: str) -> bool:
+def _font_coverage(path: str) -> Optional[frozenset]:
+    """Chars of the EN charset a face actually renders, or None if unusable.
+
+    Display faces with PARTIAL coverage (MathJax Calligraphic/Fraktur ship
+    caps-heavy cmaps) are still valuable for cover synthesis — real covers
+    set titles in exactly such faces, all-caps — so instead of the all-or-
+    nothing probe, each face carries its renderable-char set and the line
+    generator only hands it text it can honestly render (labels must match
+    pixels)."""
     if os.path.basename(path) in _FONT_BLACKLIST:
-        return False
+        return None
     try:
         from PIL import ImageFont
 
         f = ImageFont.truetype(path, 24)
-        a = f.getmask("A")
-        b = f.getmask("B")
+        a, b = f.getmask("A"), f.getmask("B")
         if a.getbbox() is None or b.getbbox() is None or bytes(a) == bytes(b):
-            return False
-        for ch in _PROBE_CHARS:
-            if f.getmask(ch).getbbox() is None:
+            return None
+        # .notdef reference: unmapped codepoints render the tofu box, which
+        # HAS a bbox — a bbox-only probe calls tofu "covered" (MathJax AMS/
+        # Calligraphic lowercase, math-italic digits). Compare mask bytes
+        # against the tofu glyph instead.
+        try:
+            tofu = bytes(f.getmask("￾"))
+        except Exception:
+            tofu = None
+
+        def renders(ch: str) -> bool:
+            try:
+                m = f.getmask(ch)
+            except Exception:
                 return False
-        return True
+            if m.getbbox() is None:
+                return ch == " "
+            return tofu is None or bytes(m) != tofu
+
+        covered = {" "}
+        covered.update(ch for ch in EN_CHARSET.chars if ch != " " and renders(ch))
+        # minimum to be worth sampling: the full caps alphabet (display
+        # faces without digits/lowercase stay usable for caps-only lines)
+        if not set(string.ascii_uppercase) <= covered:
+            return None
+        return frozenset(covered)
     except Exception:
-        return False
+        return None
+
+
+def _harvest_woff_fonts() -> List[str]:
+    """Convert woff1 faces bundled with jupyter (MathJax Main/SansSerif/
+    Typewriter/Fraktur/Calligraphic/Script) to loose .ttf files PIL can
+    open. woff1 is zlib-only (fontTools handles it without brotli); the
+    conversions are cached under /tmp and keyed by family-subfamily."""
+    import tempfile
+
+    out_dir = os.path.join(tempfile.gettempdir(), "bbocr_fonts")
+    try:
+        os.makedirs(out_dir, exist_ok=True)
+        from fontTools.ttLib import TTFont
+    except Exception:
+        return []
+    srcs: List[str] = []
+    for root in (
+        "/opt/venv/share/jupyter/lab/static",
+        "/opt/venv/lib/python3.12/site-packages/jupyterlab/static",
+    ):
+        srcs.extend(sorted(glob.glob(os.path.join(root, "*.woff"))))
+    out: List[str] = []
+    seen = set()
+    for p in srcs:
+        try:
+            f = TTFont(p)
+            fam = (f["name"].getDebugName(1) or "").replace(" ", "")
+            sub = (f["name"].getDebugName(2) or "").replace(" ", "")
+            if not fam or (fam, sub) in seen:
+                continue
+            seen.add((fam, sub))
+            dst = os.path.join(out_dir, f"{fam}-{sub}.ttf")
+            if not os.path.isfile(dst):
+                f.flavor = None
+                f.save(dst)
+            out.append(dst)
+        except Exception:
+            continue
+    return out
+
+
+def _extra_font_paths() -> List[str]:
+    """Display/text faces shipped inside unrelated site-packages (pygame,
+    gymnasium, mujoco) — found by a filesystem-wide sweep; each adds a
+    glyph style the DejaVu/STIX/CM set lacks (Playfair = display serif,
+    Minecraft = blocky display, Atkinson = humanist sans)."""
+    roots: List[str] = []
+    for mod in ("pygame", "gymnasium", "mujoco"):
+        try:
+            m = __import__(mod)
+            roots.append(os.path.dirname(m.__file__))
+        except Exception:
+            pass
+    rel = (
+        ("pygame", "tests/fixtures/fonts/PlayfairDisplaySemibold.ttf"),
+        ("pygame", "freesansbold.ttf"),
+        ("gymnasium", "envs/toy_text/font/Minecraft.ttf"),
+        ("mujoco", "experimental/studio/assets/AtkinsonHyperlegibleNext[wght].ttf"),
+    )
+    out = []
+    for mod, sub in rel:
+        for root in roots:
+            if os.path.basename(root) == mod:
+                p = os.path.join(root, sub)
+                if os.path.isfile(p):
+                    out.append(p)
+    return out
 
 _WORDS = (
     "the of and a to in is was he for it with as his on be at by had not are "
@@ -110,6 +199,7 @@ def _sample_name(rng: random.Random) -> str:
 
 
 _FONTS_CACHE: Optional[List[str]] = None
+_FONT_COVERAGE: dict = {}  # path -> frozenset of renderable EN chars
 
 
 def _find_fonts() -> List[str]:
@@ -117,10 +207,13 @@ def _find_fonts() -> List[str]:
 
     The system ships only 6 DejaVu faces; matplotlib's bundled fonts add
     the STIX serif family, Computer Modern (serif/sans/typewriter/italic)
-    and the DejaVu Display variants — real typographic diversity the
-    cover-reading gap needs (round-2 covers failed on display serif faces
-    the DejaVu-only corpus never showed the recognizer). Symbol/math faces
-    are filtered out by glyph probing.
+    and the DejaVu Display variants; round 3 adds faces swept from other
+    site-packages (Playfair Display, Minecraft, Atkinson, FreeSans) and
+    the MathJax woff set (Fraktur/Calligraphic/Script — the blackletter
+    and script styles vintage covers actually use). Symbol/math faces are
+    filtered by glyph probing; partial-coverage display faces are kept
+    with their coverage recorded in ``_FONT_COVERAGE`` so the generator
+    never labels glyphs a face can't draw.
     """
     global _FONTS_CACHE
     if _FONTS_CACHE is not None:
@@ -138,6 +231,8 @@ def _find_fonts() -> List[str]:
         candidates.extend(sorted(glob.glob(os.path.join(mpl_dir, "*.ttf"))))
     except Exception:
         pass
+    candidates.extend(_extra_font_paths())
+    candidates.extend(_harvest_woff_fonts())
     seen = set()
     fonts: List[str] = []
     for p in candidates:
@@ -145,8 +240,10 @@ def _find_fonts() -> List[str]:
         if base in seen:
             continue
         seen.add(base)
-        if _font_usable(p):
+        cov = _font_coverage(p)
+        if cov is not None:
             fonts.append(p)
+            _FONT_COVERAGE[p] = cov
     _FONTS_CACHE = fonts
     return fonts
 
@@ -177,10 +274,16 @@ class TextLineGenerator:
         self.fonts = _find_fonts()
         self._font_cache = {}
 
-    def _font(self, size: int):
+    def _font(self, size: int, text: Optional[str] = None):
+        """Random face; with ``text`` given, only faces that can render
+        every char of it (partial-coverage display faces stay honest)."""
         if not self.fonts:
             return ImageFont.load_default(size=size)
-        path = self.rng.choice(self.fonts)
+        pool = self.fonts
+        if text is not None:
+            need = set(text)
+            pool = [p for p in pool if need <= _FONT_COVERAGE.get(p, need)] or self.fonts
+        path = self.rng.choice(pool)
         key = (path, size)
         if key not in self._font_cache:
             self._font_cache[key] = ImageFont.truetype(path, size)
@@ -236,7 +339,7 @@ class TextLineGenerator:
         if not text:
             text = self.rng.choice(_WORDS)
         size = self.rng.randint(18, 30)
-        font = self._font(size)
+        font = self._font(size, text)
         bg = self.rng.randint(170, 255)
         fg = self.rng.randint(0, 90)
         if self.rng.random() < cfg.invert_prob:
@@ -480,7 +583,7 @@ class PageGenerator:
         page_dirty = False
         for size in sizes:
             text = self.lines.sample_text()
-            font = self.lines._font(size)
+            font = self.lines._font(size, text)
             # display-type styling on covers: letterspaced caps + outline
             tracking = 0
             if cover and self.rng.random() < 0.4:
@@ -609,7 +712,7 @@ class PageGenerator:
         y = rng.randint(10, 30)
         drawn: List[str] = []
         for text, size, centered in lines:
-            font = self.lines._font(size)
+            font = self.lines._font(size, text)
             bb = d.textbbox((0, 0), text, font=font)
             tw, th = min(bb[2] + 2, width), bb[3] + 2
             x = max(0, (width - tw) // 2) if centered else rng.randint(4, max(5, width - tw))
