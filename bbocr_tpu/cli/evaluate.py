@@ -60,11 +60,13 @@ def evaluate_books(
     llm_backend: str = "heuristic",
     ocr_engine: str = "tpu",
     limit: Optional[int] = None,
+    fast_single: Optional[bool] = None,
 ) -> Dict[str, Any]:
     from bbocr_tpu.extract import BookMetadataExtractor
 
     extractor = BookMetadataExtractor(
-        llm_backend=llm_backend, ocr_engine=ocr_engine, warm_model=False
+        llm_backend=llm_backend, ocr_engine=ocr_engine, warm_model=False,
+        fast_single=fast_single,
     )
     book_ids = sorted(
         d for d in os.listdir(books_dir)
@@ -129,12 +131,17 @@ def main():
     p.add_argument("--ocr-engine", default="tpu")
     p.add_argument("--limit", type=int)
     p.add_argument("--out", default=None, help="write full JSON report here")
+    p.add_argument("--fast", dest="fast", action="store_true", default=None,
+                   help="force the single-dispatch OCR path")
+    p.add_argument("--no-fast", dest="fast", action="store_false",
+                   help="force the full (3-dispatch) OCR path")
     args = p.parse_args()
     summary = evaluate_books(
         args.books_dir,
         llm_backend=args.llm_backend,
         ocr_engine=args.ocr_engine,
         limit=args.limit,
+        fast_single=args.fast,
     )
     report = {k: v for k, v in summary.items() if k != "details"}
     print(json.dumps(report, indent=2))
