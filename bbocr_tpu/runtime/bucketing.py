@@ -7,6 +7,7 @@ low (SURVEY.md §7 "dynamic-width bucketing" / BASELINE.json config 4).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Sequence, Tuple
 
@@ -63,7 +64,10 @@ DEFAULT_CANVASES: Tuple[CanvasSpec, ...] = (
 # reference's 2400px page photos at the 704x512 canvas land at 0.29x scale,
 # which pushes body text below CRAFT's resolution and cost ~all word recall;
 # at >= ~0.55x the same checkpoints read title/copyright pages correctly.
-DETAIL_SCALE = 0.55
+# BB_OCR_DETAIL_SCALE overrides (0.8 sends ~960px cover scans — 0.73x on
+# the 704 canvas, small print crushed — to the full-res 1408 canvas while
+# leaving webcam captures and 800x600 pages on the cheap canvas).
+DETAIL_SCALE = float(os.environ.get("BB_OCR_DETAIL_SCALE", "0.55"))
 
 
 def pick_canvas(h: int, w: int, canvases: Sequence[CanvasSpec] = DEFAULT_CANVASES) -> CanvasSpec:

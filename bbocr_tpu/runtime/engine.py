@@ -343,16 +343,37 @@ class OCREngine:
                 masks_dev, regions_dev = self._detect(self.craft_params, dev_batch, pool)
             pending.append((src_key, idxs, masks_dev, regions_dev, pool))
 
-        # Download + host box extraction phase.
+        # Download + host box extraction phase. Start ALL device->host map
+        # copies first (async): later chunks' transfers ride the link while
+        # earlier chunks run host CC labeling, instead of each np.asarray
+        # serializing a full round trip before any host work starts.
+        for _, _, masks_dev, regions_dev, _ in pending:
+            for a in (masks_dev, regions_dev):
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+        box_jobs: List[Tuple[int, int, np.ndarray, np.ndarray, int]] = []
         for src_key, idxs, masks_dev, regions_dev, pool in pending:
             with self.timers.stage("detect"):
                 masks = np.asarray(masks_dev)
                 regions_q = np.asarray(regions_dev)
-            with self.timers.stage("boxes"):
-                for slot, i in enumerate(idxs):
-                    quads = extract_boxes_masked(masks[slot], regions_q[slot], cfg.detection)
-                    # map coords (maps are canvas / (2 * pool)) -> canvas coords
-                    per_image_quads[i] = [q * (2.0 * pool) for q in quads]
+            for slot, i in enumerate(idxs):
+                box_jobs.append((i, slot, masks, regions_q, pool))
+        with self.timers.stage("boxes"):
+            # Per-slot CC labeling fans out over the host pool: the native
+            # labeler is a ctypes call (GIL released), so slots of a chunk
+            # genuinely run in parallel.
+            def _extract(job):
+                i, slot, masks, regions_q, pool = job
+                quads = extract_boxes_masked(masks[slot], regions_q[slot], cfg.detection)
+                # map coords (maps are canvas / (2 * pool)) -> canvas coords
+                per_image_quads[i] = [q * (2.0 * pool) for q in quads]
+
+            if len(box_jobs) > 1:
+                list(_letterbox_pool().map(_extract, box_jobs))
+            elif box_jobs:
+                _extract(box_jobs[0])
 
         # --- bucket crops across all images ------------------------------
         buckets: Dict[int, List[Tuple[int, int, np.ndarray, int]]] = {}
@@ -369,6 +390,11 @@ class OCREngine:
         results: List[List[Tuple[np.ndarray, str, float]]] = [[] for _ in range(n_img)]
         texts: Dict[Tuple[int, int], Tuple[str, float]] = {}
 
+        # Two passes over the buckets: dispatch every warp+recognize program
+        # first (device work for bucket B overlaps the host's wait on bucket
+        # A), then collect results. np.asarray inside the dispatch loop
+        # would serialize device compute behind each bucket's download.
+        dispatched: List[Tuple[List, List[int], Any, Any, Any]] = []
         for bucket_w, entries in buckets.items():
             cap = bucketing.pad_count(len(entries), cfg.batch_capacities)
             cap = -(-cap // self._dp) * self._dp  # dp-divisible under a mesh
@@ -427,10 +453,18 @@ class OCREngine:
                 ids, lens, conf = self._recognize(
                     self.crnn_params, all_crops, dev_lengths, dev_valid
                 )
-            ids = np.asarray(ids)
-            lens = np.asarray(lens)
-            conf = np.asarray(conf)
+                for a in (ids, lens, conf):
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        pass
+            dispatched.append((entries, order, ids, lens, conf))
 
+        for entries, order, ids, lens, conf in dispatched:
+            with self.timers.stage("recognize"):
+                ids = np.asarray(ids)
+                lens = np.asarray(lens)
+                conf = np.asarray(conf)
             for k, e_idx in enumerate(order):
                 i, j, quad, true_w = entries[e_idx]
                 text = self.charset.decode_ids(ids[k][: lens[k]])

@@ -186,9 +186,12 @@ class TestFullPath:
         meta = res.json()["metadata"]
         # single image => OCR plan [0]
         assert meta["_processing_info"]["ocr_images_processed"] == 1
-        # the engine actually ran: stage timers accumulated on the real path
+        # the engine actually ran: stage timers accumulated on the real
+        # path — "detect" on the batched path, "fast" when the webcam-shaped
+        # single photo routes through the single-dispatch fast path.
         timings = meta["_processing_info"].get("engine_timings", {})
-        assert "detect" in timings and timings["detect"]["count"] >= 1
+        stage = "fast" if "fast" in timings else "detect"
+        assert stage in timings and timings[stage]["count"] >= 1
 
 
 class TestRealEvalUtils:
