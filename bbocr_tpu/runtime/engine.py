@@ -71,6 +71,18 @@ class EngineConfig:
     detect_pool_min_area: int = 1408 * 1024
 
 
+class _BatchCtx:
+    """Mutable per-batch pipeline state handed between the engine stages."""
+
+    __slots__ = (
+        "n_img", "per_image_quads", "scales", "canvas_batches",
+        "canvas_pos", "pending", "dispatched",
+    )
+
+
+_STREAM_END = object()
+
+
 class OCREngine:
     """Detector + recognizer + decode glue with jit caches per static shape."""
 
@@ -268,6 +280,87 @@ class OCREngine:
     # ------------------------------------------------------------------
 
     def _readtext_batch_locked(self, images):
+        ctx = self._stage_detect(images)
+        self._stage_boxes_recognize(ctx)
+        return self._stage_collect(ctx)
+
+    def readtext_stream(self, batches, depth: int = 2):
+        """Software-pipelined serving over an iterable of image lists.
+
+        Three stages run on separate host threads so consecutive batches
+        overlap: while batch k is in host CC labeling / warp dispatch
+        (stage 2) or text decode (stage 3), batch k+1's letterbox + detect
+        dispatch (stage 1) keeps the device queue fed. Device programs from
+        neighboring batches interleave in dispatch order — the chip never
+        waits on host-only work of a single batch. Stage threads touch
+        disjoint jit caches (detect vs warp/recognize), so compiles stay
+        race-free. Yields per-batch results in order; output matches
+        :meth:`readtext_batch` exactly.
+
+        ``depth`` bounds in-flight batches (device canvas memory is the
+        cost: one f32 canvas batch per in-flight chunk).
+        """
+        import queue as _queue
+
+        with self._lock:
+            q_mid: Any = _queue.Queue(maxsize=depth)
+            q_out: Any = _queue.Queue(maxsize=depth)
+            err: List[BaseException] = []
+
+            def t_detect():
+                try:
+                    for imgs in batches:
+                        q_mid.put(self._stage_detect(imgs) if imgs else None)
+                except BaseException as e:  # propagate to consumer
+                    err.append(e)
+                finally:
+                    q_mid.put(_STREAM_END)
+
+            def t_mid():
+                try:
+                    while True:
+                        ctx = q_mid.get()
+                        if ctx is _STREAM_END:
+                            break
+                        if ctx is not None:
+                            self._stage_boxes_recognize(ctx)
+                        q_out.put(ctx)
+                except BaseException as e:
+                    err.append(e)
+                finally:
+                    q_out.put(_STREAM_END)
+
+            threads = [
+                threading.Thread(target=t_detect, daemon=True),
+                threading.Thread(target=t_mid, daemon=True),
+            ]
+            for t in threads:
+                t.start()
+            try:
+                while True:
+                    ctx = q_out.get()
+                    if ctx is _STREAM_END:
+                        break
+                    yield [] if ctx is None else self._stage_collect(ctx)
+            finally:
+                # If the consumer abandoned the stream early, producers may
+                # be blocked on full queues — drain until both threads exit
+                # so join cannot hang (normal completion: threads are done).
+                import time as _time
+
+                while any(t.is_alive() for t in threads):
+                    for q in (q_out, q_mid):
+                        try:
+                            q.get_nowait()
+                        except _queue.Empty:
+                            pass
+                    _time.sleep(0.005)
+                for t in threads:
+                    t.join()
+            if err:
+                raise err[0]
+
+    def _stage_detect(self, images):
         cfg = self.config
         n_img = len(images)
         grays: List[np.ndarray] = []
@@ -343,6 +436,23 @@ class OCREngine:
                 masks_dev, regions_dev = self._detect(self.craft_params, dev_batch, pool)
             pending.append((src_key, idxs, masks_dev, regions_dev, pool))
 
+        ctx = _BatchCtx()
+        ctx.n_img = n_img
+        ctx.per_image_quads = per_image_quads
+        ctx.scales = scales
+        ctx.canvas_batches = canvas_batches
+        ctx.canvas_pos = canvas_pos
+        ctx.pending = pending
+        return ctx
+
+    def _stage_boxes_recognize(self, ctx) -> None:
+        cfg = self.config
+        n_img = ctx.n_img
+        per_image_quads = ctx.per_image_quads
+        canvas_batches = ctx.canvas_batches
+        canvas_pos = ctx.canvas_pos
+        pending = ctx.pending
+
         # Download + host box extraction phase. Start ALL device->host map
         # copies first (async): later chunks' transfers ride the link while
         # earlier chunks run host CC labeling, instead of each np.asarray
@@ -387,13 +497,10 @@ class OCREngine:
                 merged.extend(entries)
             buckets = {max(buckets): merged}
 
-        results: List[List[Tuple[np.ndarray, str, float]]] = [[] for _ in range(n_img)]
-        texts: Dict[Tuple[int, int], Tuple[str, float]] = {}
-
-        # Two passes over the buckets: dispatch every warp+recognize program
-        # first (device work for bucket B overlaps the host's wait on bucket
-        # A), then collect results. np.asarray inside the dispatch loop
-        # would serialize device compute behind each bucket's download.
+        # Dispatch every warp+recognize program here (device work for bucket
+        # B overlaps the host's wait on bucket A); downloads happen in
+        # _stage_collect. np.asarray inside the dispatch loop would
+        # serialize device compute behind each bucket's download.
         dispatched: List[Tuple[List, List[int], Any, Any, Any]] = []
         for bucket_w, entries in buckets.items():
             cap = bucketing.pad_count(len(entries), cfg.batch_capacities)
@@ -459,8 +566,22 @@ class OCREngine:
                     except AttributeError:
                         pass
             dispatched.append((entries, order, ids, lens, conf))
+        ctx.dispatched = dispatched
+        # Canvas batches are consumed by the dispatched warps; drop our
+        # reference so device memory frees as soon as those complete
+        # (matters when readtext_stream holds several batches in flight).
+        ctx.canvas_batches = None
+        ctx.pending = None
 
-        for entries, order, ids, lens, conf in dispatched:
+    def _stage_collect(self, ctx) -> List[List[Tuple[np.ndarray, str, float]]]:
+        cfg = self.config
+        n_img = ctx.n_img
+        per_image_quads = ctx.per_image_quads
+        scales = ctx.scales
+
+        results: List[List[Tuple[np.ndarray, str, float]]] = [[] for _ in range(n_img)]
+        texts: Dict[Tuple[int, int], Tuple[str, float]] = {}
+        for entries, order, ids, lens, conf in ctx.dispatched:
             with self.timers.stage("recognize"):
                 ids = np.asarray(ids)
                 lens = np.asarray(lens)

@@ -100,22 +100,29 @@ def main():
     for raw in raws[: min(24, len(raws))]:
         engine.readtext(_decode(raw))
 
-    # --- throughput: pipelined decode -> readtext_batch -------------------
+    # --- throughput: pipelined decode -> readtext_stream ------------------
+    # Decode overlaps on the thread pool; the engine's 3-stage stream then
+    # overlaps detect dispatch / host CC + recognize dispatch / text decode
+    # across consecutive batches, so the chip never idles on host-only work.
     engine.timers.reset() if hasattr(engine.timers, "reset") else None
     n_crops = 0
     t0 = time.perf_counter()
-    next_imgs = pool.submit(decode_batch, 0)
+
+    def batch_iter():
+        nxt = pool.submit(decode_batch, 0)
+        for i in range(0, len(raws), BATCH):
+            imgs = nxt.result()
+            if i + BATCH < len(raws):
+                nxt = pool.submit(decode_batch, i + BATCH)
+            yield imgs
+
     done = 0
     results_sample = None
-    while done < len(raws):
-        imgs = next_imgs.result()
-        if done + BATCH < len(raws):
-            next_imgs = pool.submit(decode_batch, done + BATCH)
-        res = engine.readtext_batch(imgs)
+    for res in engine.readtext_stream(batch_iter()):
         n_crops += sum(len(r) for r in res)
-        if results_sample is None:
+        if results_sample is None and res:
             results_sample = res[0]
-        done += len(imgs)
+        done += len(res)
     elapsed = time.perf_counter() - t0
     photos_per_sec = done / elapsed
 

@@ -121,6 +121,39 @@ class TestEngine:
                 assert 0.0 <= conf <= 1.0
         assert isinstance(engine.read_joined(img), str)
 
+    def test_stream_matches_batch(self):
+        """readtext_stream's pipelined path is result-identical to
+        per-batch readtext_batch calls (same programs, reordered host
+        work), including empty batches and mixed image sizes."""
+        from bbocr_tpu.runtime import EngineConfig, OCREngine
+        from bbocr_tpu.runtime.bucketing import CanvasSpec
+
+        cfg = EngineConfig(
+            canvases=(CanvasSpec(128, 96), CanvasSpec(256, 192)),
+            width_buckets=(32, 64),
+            batch_capacities=(4, 8),
+            compute_dtype=jnp.float32,
+        )
+        engine = OCREngine.create(seed=0, config=cfg)
+        rng = np.random.default_rng(1)
+        batches = [
+            [rng.integers(0, 255, (200, 150), np.uint8) for _ in range(2)],
+            [],
+            [rng.integers(0, 255, (420, 300), np.uint8)],
+            [rng.integers(0, 255, (200, 150), np.uint8) for _ in range(3)],
+        ]
+        want = [engine.readtext_batch(b) for b in batches]
+        got = list(engine.readtext_stream(iter(batches)))
+        assert len(got) == len(want)
+        for gb, wb in zip(got, want):
+            assert len(gb) == len(wb)
+            for (gq, gt, gc), (wq, wt, wc) in zip(
+                (x for r in gb for x in r), (x for r in wb for x in r)
+            ):
+                np.testing.assert_allclose(gq, wq, atol=1e-5)
+                assert gt == wt
+                assert abs(gc - wc) < 1e-5
+
     def test_mesh_sharded_serving_matches_single_device(self):
         """dp x tp sharded readtext_batch on the 8-device CPU mesh produces
         the same boxes/texts as the unsharded engine with identical params
