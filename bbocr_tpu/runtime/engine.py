@@ -363,12 +363,7 @@ class OCREngine:
     def _stage_detect(self, images):
         cfg = self.config
         n_img = len(images)
-        grays: List[np.ndarray] = []
-        for img in images:
-            arr = np.asarray(img, np.float32)
-            if arr.ndim == 3:
-                arr = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
-            grays.append(arr)
+        grays: List[np.ndarray] = [_to_gray_u8(img) for img in images]
 
         # --- group by canvas ---------------------------------------------
         groups: Dict[CanvasSpec, List[int]] = {}
@@ -413,7 +408,7 @@ class OCREngine:
                     g = grays[i]
                     scale, oh, ow = bucketing.letterbox_params(g.shape[0], g.shape[1], canvas)
                     scales[i] = scale
-                    batch[slot, :oh, :ow] = _host_resize(g, oh, ow).astype(np.uint8)
+                    batch[slot, :oh, :ow] = _host_resize(g, oh, ow)
                     canvas_pos[i] = (src_key, slot)
 
                 # PIL resize of a 2400px photo costs ~100ms; parallel across
@@ -617,13 +612,11 @@ class OCREngine:
         from bbocr_tpu.runtime.fastpath import make_fast_readtext
 
         cfg = self.config
-        arr = np.asarray(image, np.float32)
-        if arr.ndim == 3:
-            arr = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+        arr = _to_gray_u8(image)
         canvas = bucketing.pick_canvas(arr.shape[0], arr.shape[1], cfg.canvases)
         scale, oh, ow = bucketing.letterbox_params(arr.shape[0], arr.shape[1], canvas)
         batch = np.zeros((1, canvas.height, canvas.width), np.uint8)
-        batch[0, :oh, :ow] = _host_resize(arr, oh, ow).astype(np.uint8)
+        batch[0, :oh, :ow] = _host_resize(arr, oh, ow)
 
         key = (canvas, cfg.fast_max_boxes, cfg.fast_bucket_w)
         if not hasattr(self, "_fast_cache"):
@@ -853,12 +846,44 @@ def _contrast_stretch(crops: jnp.ndarray, lo_pct: float = 10.0, hi_pct: float = 
     return jnp.clip((crops - lo) * scale, 0.0, 255.0)
 
 
+try:
+    import cv2 as _cv2
+except ImportError:  # pragma: no cover - cv2 is present in the image
+    _cv2 = None
+
+
+def _to_gray_u8(img) -> np.ndarray:
+    """Any input image -> (H, W) uint8 grayscale without needless copies.
+
+    The canvas on the wire is uint8 anyway, so the whole host path runs in
+    the u8 domain: a 2400px photo as float32 is a 17MB array and PIL's
+    float resize costs ~27ms on this host vs ~2ms for the cv2 u8 resize —
+    on a single-core serving host that difference IS the throughput.
+    """
+    arr = np.asarray(img)
+    if arr.ndim == 3:
+        if _cv2 is not None and arr.dtype == np.uint8:
+            arr = _cv2.cvtColor(arr, _cv2.COLOR_RGB2GRAY)
+        else:
+            arr = 0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    if arr.dtype != np.uint8:
+        arr = np.clip(arr, 0, 255).astype(np.uint8)
+    return arr
+
+
 def _host_resize(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
-    """Aspect-fit host resize (PIL bilinear) used for canvas letterboxing."""
+    """Aspect-fit host resize used for canvas letterboxing; returns uint8.
+
+    cv2 INTER_LINEAR when available (SIMD, ~12x faster than the PIL float
+    path). Letterbox scales stay >= ~0.5 (DETAIL_SCALE escalates the canvas
+    below that), so plain bilinear's aliasing on downscale is negligible.
+    """
+    u8 = img if img.dtype == np.uint8 else np.clip(img, 0, 255).astype(np.uint8)
+    if _cv2 is not None:
+        return _cv2.resize(u8, (out_w, out_h), interpolation=_cv2.INTER_LINEAR)
     from PIL import Image
 
-    pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
-    return np.asarray(pil.resize((out_w, out_h), Image.BILINEAR), np.float32)
+    return np.asarray(Image.fromarray(u8).resize((out_w, out_h), Image.BILINEAR))
 
 
 _LETTERBOX_POOL = None
