@@ -326,7 +326,7 @@ class TextLineGenerator:
             return text.title()
         return text
 
-    def render(self, text: Optional[str] = None, width: int = 256) -> Tuple[np.ndarray, str]:
+    def render(self, text: Optional[str] = None, width: int = 256, _retry: int = 0) -> Tuple[np.ndarray, str]:
         """Render one (height, width) float32 crop in [0,255] + its label."""
         cfg = self.config
         if text is None:
@@ -389,20 +389,15 @@ class TextLineGenerator:
             # end, and those lines were its worst misses.
             hi = max(3, int(size * (0.8 if self.rng.random() < 0.3 else 0.35)))
             tracking = self.rng.randint(2, hi)
+        pre_draw = np.asarray(img, np.int16).copy()
         if tracking:
             x = x0
             for ch in text:
                 draw.text((x, y0), ch, fill=fg, font=font, stroke_width=stroke, stroke_fill=stroke_color)
                 cw = draw.textbbox((0, 0), ch, font=font)[2]
                 x += cw + tracking
-            right_guess = x
-            bbox = (x0, y0, min(right_guess + 2, width * 2), min(y0 + size + 8, cfg.height * 2))
-            tight = img.crop(bbox).getbbox()
-            if tight:
-                bbox = (bbox[0] + tight[0], bbox[1] + tight[1], bbox[0] + tight[2], bbox[1] + tight[3])
         else:
             draw.text((x0, y0), text, fill=fg, font=font, stroke_width=stroke, stroke_fill=stroke_color)
-            bbox = draw.textbbox((x0, y0), text, font=font, stroke_width=stroke)
         if self.rng.random() < 0.2 * cfg.style_aug:
             # faux italic: horizontal shear around the text baseline
             shear = self.rng.uniform(-0.25, 0.25)
@@ -410,9 +405,31 @@ class TextLineGenerator:
                 img.size, Image.AFFINE, (1, shear, -shear * y0, 0, 1, 0),
                 Image.BILINEAR, fillcolor=bg,
             )
-            pad_sh = int(abs(shear) * size) + 2
-            bbox = (max(0, bbox[0] - pad_sh), bbox[1], min(img.width, bbox[2] + pad_sh), bbox[3])
-        left, top, right, bottom = bbox
+        # INK bbox from pixels, not font metrics (round-3 diagnosis): some
+        # converted display faces report coverage yet render nothing (empty
+        # crop with a label), and faces with inflated vertical metrics made
+        # textbbox ~5x the glyph height — the resize-to-text_h step then
+        # shrank the glyphs to ~4px scrawl. Both poison CTC training with
+        # unlearnable targets. diff vs the pre-draw background is exact for
+        # every branch (stroke, tracking, busy art, shear moves bg too but
+        # fillcolor=bg keeps uniform grounds clean).
+        post_draw = np.asarray(img, np.int16)
+        ink = np.abs(post_draw - pre_draw) > 8
+        ys, xs = np.nonzero(ink)
+        if xs.size < 4:
+            # Broken face rendered no ink: redraw with a face that proved
+            # itself (DejaVu ships with the image and always renders).
+            if _retry < 2:
+                return self.render(text=text, width=width, _retry=_retry + 1)
+            font = ImageFont.load_default(size=size)
+            draw.text((x0, y0), text, fill=fg, font=font)
+            post_draw = np.asarray(img, np.int16)
+            ink = np.abs(post_draw - pre_draw) > 8
+            ys, xs = np.nonzero(ink)
+            if xs.size == 0:  # pathological fg==bg style; just emit something
+                ys = np.asarray([0, img.height - 1]); xs = np.asarray([0, img.width - 1])
+        left, top = int(xs.min()), int(ys.min())
+        right, bottom = int(xs.max()) + 1, int(ys.max()) + 1
         pad = self.rng.randint(1, 4)
         crop = img.crop((max(0, left - pad), max(0, top - pad), right + pad, bottom + pad))
         # Loose-crop augmentation: detected quads include margins around the
@@ -445,7 +462,43 @@ class TextLineGenerator:
         if cfg.photo_aug > 0:
             from bbocr_tpu.train.photo_aug import photometric_crop_aug
 
+            # Legibility gate (round-3 diagnosis): the low-contrast style
+            # branch composed with the photometric stack's contrast squeeze
+            # + texture + noise produced crops whose text is INVISIBLE to a
+            # human (~10% of the corpus at full strength). Training on
+            # unreadable targets both caps val CER (~0.09 plateau) and
+            # teaches the model to hallucinate text on flat noise — the
+            # real-photo texture misreads. Gate: text/background separation
+            # after the stack must clear the noise floor, else re-run the
+            # stack milder on the clean render.
+            pre = out
+            # Text mask from the clean render, thresholded RELATIVE to the
+            # style's own fg/bg distance (the low-contrast branch renders at
+            # |fg-bg| as low as 25; a fixed threshold misses exactly the
+            # crops most at risk).
+            thr = max(8.0, 0.4 * abs(float(fg) - float(bg)))
+            mask = np.abs(pre - float(bg)) > thr
+            n_text = int(mask.sum())
+            sig_pre = (
+                abs(float(pre[mask].mean()) - float(pre[~mask].mean()))
+                if 0 < n_text < mask.size
+                else 0.0
+            )
             out = photometric_crop_aug(self.rng, out, strength=cfg.photo_aug)
+            sig = -1.0
+            if sig_pre > 0:
+                sig = abs(float(out[mask].mean()) - float(out[~mask].mean()))
+                # Illegible = separation fell under the noise floor OR lost
+                # most of what the clean render had.
+                if sig < max(1.8 * cfg.noise_std, 0.35 * sig_pre):
+                    out = photometric_crop_aug(
+                        self.rng, pre, strength=0.35 * cfg.photo_aug
+                    )
+            self._last_gate = {
+                "fg": fg, "bg": bg, "thr": thr, "n_text": n_text,
+                "sig_pre": round(sig_pre, 1), "sig_post": round(sig, 1),
+                "busy": busy_bg,
+            }
         elif self.rng.random() < 0.3:
             k = np.array([0.25, 0.5, 0.25])
             out = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 1, out)
