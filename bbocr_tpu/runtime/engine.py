@@ -230,6 +230,13 @@ class OCREngine:
                 out_shardings=(bsh, bsh, bsh),
             )
         self._widen = jax.jit(lambda u8: u8.astype(jnp.float32))
+        # Device-side row padding to the chunk menu (upload real rows only;
+        # shape pair (n, rows) is bounded by the menu so the jit cache is
+        # tiny). static_argnums pins the target row count.
+        self._pad_rows = jax.jit(
+            lambda x, rows: jnp.pad(x, ((0, rows - x.shape[0]), (0, 0), (0, 0))),
+            static_argnums=1,
+        )
 
     # ------------------------------------------------------------------
     # Construction helpers
@@ -401,7 +408,13 @@ class OCREngine:
                 # GSPMD shards it evenly (padding slots are dead work).
                 rows = bucketing.pad_count(len(idxs), (1, 2, 4, CHUNK))
                 rows = -(-rows // self._dp) * self._dp
-                batch = np.zeros((rows, canvas.height, canvas.width), np.uint8)
+                # Upload REAL rows only; dead menu-padding rows are appended
+                # on device (the relay uplink is ~8.5MB/s — a 5-photo hi-res
+                # group padded to 8 would ship 4.3MB of zeros). The mesh
+                # path keeps host padding: real-row counts need not divide
+                # dp for an even GSPMD shard.
+                n_real = rows if self._bsh is not None else len(idxs)
+                batch = np.zeros((n_real, canvas.height, canvas.width), np.uint8)
 
                 def fill(slot_i):
                     slot, i = slot_i
@@ -411,13 +424,14 @@ class OCREngine:
                     batch[slot, :oh, :ow] = _host_resize(g, oh, ow)
                     canvas_pos[i] = (src_key, slot)
 
-                # PIL resize of a 2400px photo costs ~100ms; parallel across
-                # the chunk (PIL releases the GIL in resize).
+                # cv2/PIL resize releases the GIL; parallel across the chunk.
                 if len(idxs) > 1:
                     list(_letterbox_pool().map(fill, enumerate(idxs)))
                 else:
                     fill((0, idxs[0]))
                 raw = jnp.asarray(batch) if self._bsh is None else jax.device_put(batch, self._bsh)
+                if raw.shape[0] < rows:
+                    raw = self._pad_rows(raw, rows)
                 dev_batch = self._widen(raw)
                 canvas_batches[src_key] = dev_batch
 
