@@ -88,6 +88,32 @@ class TestSynth:
         assert (label_lens > 0).all()
         assert (frame_lens == 31).all()
 
+    def test_crops_always_contain_legible_ink(self):
+        """Round-3 corpus-poison regression: every recognizer crop must
+        contain visible glyph ink. Guards (a) ink-bbox-from-pixels (broken
+        display faces used to render NOTHING yet carry a CTC label;
+        metric-inflated textbbox shrank glyphs to ~4px scrawl) and (b) the
+        post-aug legibility gate (compounded low-contrast x squeeze x
+        noise crushed text below the noise floor on ~1 crop in 10)."""
+        import numpy as np
+
+        from bbocr_tpu.train.synth import SynthConfig, TextLineGenerator
+
+        gen = TextLineGenerator(SynthConfig(), seed=31337)
+        flat = 0
+        for _ in range(64):
+            crop, text = gen.render(width=256)
+            assert text
+            # Ink presence: enough pixel variation that glyph strokes exist
+            # beyond the additive noise floor (std 6). A fully flat/noise
+            # crop sits at ~6-8; any visible text clears 9.
+            col_profile = crop.astype(np.float32).std(axis=0)
+            if float(col_profile.max()) < 9.0:
+                flat += 1
+        # The gate is probabilistic (re-runs the stack milder, which can
+        # rarely still crush); allow a thin tail, not the old ~10-17%.
+        assert flat <= 2, f"{flat}/64 crops have no visible ink"
+
     def test_pages(self):
         from bbocr_tpu.train.synth import PageGenerator
 
