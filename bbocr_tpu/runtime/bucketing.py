@@ -55,6 +55,14 @@ DEFAULT_CANVASES: Tuple[CanvasSpec, ...] = (
     CanvasSpec(704, 512),    # portrait book photos (cover/title/copyright)
     CanvasSpec(512, 704),    # landscape
     CanvasSpec(512, 512),    # square-ish
+    # Mid tier: 1.02MB vs the hi-res tier's 1.44MB on an uplink-bound
+    # serving link (~8.5MB/s on the relay — docs/EVAL.md round 3). At the
+    # default DETAIL_SCALE it only catches images it can hold at full
+    # detail (e.g. ~1200px scans, previously escalated to 1408); at
+    # BB_OCR_DETAIL_SCALE=0.45 it becomes the 2400px-photo operating
+    # point (0.49x scale) for -29% wire bytes.
+    CanvasSpec(1184, 864),   # mid portrait
+    CanvasSpec(864, 1184),   # mid landscape
     CanvasSpec(1408, 1024),  # hi-res portrait (camera photos of dense pages)
     CanvasSpec(1024, 1408),  # hi-res landscape
 )
@@ -84,7 +92,17 @@ def pick_canvas(h: int, w: int, canvases: Sequence[CanvasSpec] = DEFAULT_CANVASE
 
     keep = [c for c in canvases if fit(c) >= DETAIL_SCALE]
     if keep:
-        return min(keep, key=lambda c: (abs(c.width / c.height - aspect), c.height * c.width))
+        # Aspect compared in coarse buckets (0.08-wide) so NEAR-tied
+        # aspects resolve by area — otherwise a canvas tier whose ratio is
+        # 0.005 closer steals traffic from a 3x-cheaper one (the wire pays
+        # per pixel; see the mid-tier note above).
+        return min(
+            keep,
+            key=lambda c: (
+                int(abs(c.width / c.height - aspect) / 0.08),
+                c.height * c.width,
+            ),
+        )
     return max(canvases, key=lambda c: (fit(c), -abs(c.width / c.height - aspect)))
 
 
