@@ -17,6 +17,7 @@ reading order, where box is a (4, 2) float array in original image coords.
 
 from __future__ import annotations
 
+import os
 import threading
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Sequence, Tuple
@@ -69,6 +70,17 @@ class EngineConfig:
     # samples crops from the full-resolution canvas. 1 = off.
     detect_pool: int = 1
     detect_pool_min_area: int = 1408 * 1024
+    # Canvas upload bit depth (8, 4, or 2). Below 8, canvases ship
+    # Bayer-dithered and are unpacked inside the device program — the
+    # uplink is the serving binder on relayed links (runtime/wire.py).
+    wire_bits: int = int(os.environ.get("BB_OCR_WIRE_BITS", "8"))
+    # Rectify recognition crops on the HOST (cv2, from the ORIGINAL photo
+    # at native detail) and upload small u8 strips, instead of device
+    # gather-warps from the letterboxed canvas. Decouples recognition from
+    # canvas scale/quantization; pairs with wire_bits < 8.
+    host_rectify: bool = (
+        os.environ.get("BB_OCR_HOST_RECTIFY", "0").lower() not in ("0", "", "false")
+    )
 
 
 class _BatchCtx:
@@ -76,7 +88,7 @@ class _BatchCtx:
 
     __slots__ = (
         "n_img", "per_image_quads", "scales", "canvas_batches",
-        "canvas_pos", "pending", "dispatched",
+        "canvas_pos", "pending", "dispatched", "grays",
     )
 
 
@@ -230,6 +242,16 @@ class OCREngine:
                 out_shardings=(bsh, bsh, bsh),
             )
         self._widen = jax.jit(lambda u8: u8.astype(jnp.float32))
+        # Wire reduction (runtime/wire.py): bit-packed canvas upload and/or
+        # host-side crop rectification. host_rectify needs cv2; degrade to
+        # the device warp rather than fail the engine.
+        if config.wire_bits not in (2, 4, 8):
+            raise ValueError(f"wire_bits must be 2, 4, or 8 (got {config.wire_bits})")
+        self._wire_bits = int(config.wire_bits)
+        self._host_rectify = bool(config.host_rectify) and _cv2 is not None
+        from bbocr_tpu.runtime.wire import unpack_widen as _unpack_widen_fn
+
+        self._unpack_widen = jax.jit(_unpack_widen_fn, static_argnums=1)
         # Device-side row padding to the chunk menu (upload real rows only;
         # shape pair (n, rows) is bounded by the menu so the jit cache is
         # tiny). static_argnums pins the target row count.
@@ -429,10 +451,18 @@ class OCREngine:
                     list(_letterbox_pool().map(fill, enumerate(idxs)))
                 else:
                     fill((0, idxs[0]))
+                if self._wire_bits < 8:
+                    from bbocr_tpu.runtime.wire import pack_canvas
+
+                    batch = pack_canvas(batch, self._wire_bits)
                 raw = jnp.asarray(batch) if self._bsh is None else jax.device_put(batch, self._bsh)
                 if raw.shape[0] < rows:
                     raw = self._pad_rows(raw, rows)
-                dev_batch = self._widen(raw)
+                dev_batch = (
+                    self._widen(raw)
+                    if self._wire_bits == 8
+                    else self._unpack_widen(raw, self._wire_bits)
+                )
                 canvas_batches[src_key] = dev_batch
 
             pool = (
@@ -452,6 +482,9 @@ class OCREngine:
         ctx.canvas_batches = canvas_batches
         ctx.canvas_pos = canvas_pos
         ctx.pending = pending
+        # Host rectification samples recognition crops from the ORIGINAL
+        # pixels, so the grays must outlive this stage.
+        ctx.grays = grays if self._host_rectify else None
         return ctx
 
     def _stage_boxes_recognize(self, ctx) -> None:
@@ -514,6 +547,39 @@ class OCREngine:
         for bucket_w, entries in buckets.items():
             cap = bucketing.pad_count(len(entries), cfg.batch_capacities)
             cap = -(-cap // self._dp) * self._dp  # dp-divisible under a mesh
+
+            if self._host_rectify:
+                # Host rectification: warp each crop with cv2 from the
+                # ORIGINAL gray at native detail and upload small u8 strips
+                # (runtime/wire.py — recognition decoupled from canvas
+                # scale/quantization; no device gather warp).
+                from bbocr_tpu.runtime.wire import host_warp_crop
+
+                order = list(range(len(entries)))
+                crop_buf = np.zeros((cap, INPUT_HEIGHT, bucket_w), np.uint8)
+
+                def _hwarp(k_entry, _buf=crop_buf, _entries=entries, _bw=bucket_w):
+                    k, (i, j, quad, true_w) = k_entry
+                    oq = np.asarray(quad, np.float64) / max(ctx.scales[i], 1e-9)
+                    _buf[k] = host_warp_crop(
+                        ctx.grays[i], oq, true_w, INPUT_HEIGHT, _bw,
+                        quad_to_rect_homography,
+                    )
+
+                with self.timers.stage("rectify"):
+                    if len(entries) > 1:
+                        list(_letterbox_pool().map(_hwarp, enumerate(entries)))
+                    else:
+                        _hwarp((0, entries[0]))
+                    raw = (
+                        jnp.asarray(crop_buf)
+                        if self._bsh is None
+                        else jax.device_put(crop_buf, self._bsh)
+                    )
+                    all_crops = self._widen(raw)
+                self._recognize_dispatch(ctx, dispatched, entries, order, all_crops, cap)
+                continue
+
             # group by source batch for warping (same source array shape)
             by_canvas: Dict[Tuple[CanvasSpec, int], List[int]] = {}
             for e_idx, (i, j, quad, true_w) in enumerate(entries):
@@ -549,38 +615,48 @@ class OCREngine:
                 order.extend(e_idxs)
 
             all_crops = jnp.concatenate(crop_arrays, axis=0) if len(crop_arrays) > 1 else crop_arrays[0]
-            lengths = np.asarray([entries[e][3] // 4 - 1 for e in order], np.int32)
-            n = all_crops.shape[0]
-            if cap > n:
-                all_crops = jnp.pad(all_crops, ((0, cap - n), (0, 0), (0, 0)))
-                lengths = np.pad(lengths, (0, cap - n))
-            dev_lengths = jnp.asarray(np.maximum(lengths, 1))
-            valid = np.zeros((cap,), bool)
-            valid[: len(order)] = True
-            dev_valid = jnp.asarray(valid)
-            if self._bsh is not None:
-                # warp_crops output follows the canvas-batch sharding, not
-                # the crop-batch dp spec _recognize's in_shardings pins;
-                # reshard explicitly (GSPMD inserts the collective).
-                all_crops = jax.device_put(all_crops, self._bsh)
-                dev_lengths = jax.device_put(dev_lengths, self._bsh)
-                dev_valid = jax.device_put(dev_valid, self._bsh)
-            with self.timers.stage("recognize"):
-                ids, lens, conf = self._recognize(
-                    self.crnn_params, all_crops, dev_lengths, dev_valid
-                )
-                for a in (ids, lens, conf):
-                    try:
-                        a.copy_to_host_async()
-                    except AttributeError:
-                        pass
-            dispatched.append((entries, order, ids, lens, conf))
+            self._recognize_dispatch(ctx, dispatched, entries, order, all_crops, cap)
         ctx.dispatched = dispatched
         # Canvas batches are consumed by the dispatched warps; drop our
         # reference so device memory frees as soon as those complete
         # (matters when readtext_stream holds several batches in flight).
         ctx.canvas_batches = None
         ctx.pending = None
+        ctx.grays = None
+
+    def _recognize_dispatch(self, ctx, dispatched, entries, order, all_crops, cap) -> None:
+        """Pad a bucket's crops/lengths to capacity and dispatch recognition.
+
+        Shared tail of the device-warp and host-rectify crop paths; appends
+        (entries, order, ids, lens, conf) for :meth:`_stage_collect`.
+        """
+        lengths = np.asarray([entries[e][3] // 4 - 1 for e in order], np.int32)
+        n = all_crops.shape[0]
+        if cap > n:
+            all_crops = jnp.pad(all_crops, ((0, cap - n), (0, 0), (0, 0)))
+        if cap > len(lengths):
+            lengths = np.pad(lengths, (0, cap - len(lengths)))
+        dev_lengths = jnp.asarray(np.maximum(lengths, 1))
+        valid = np.zeros((cap,), bool)
+        valid[: len(order)] = True
+        dev_valid = jnp.asarray(valid)
+        if self._bsh is not None:
+            # warp_crops output follows the canvas-batch sharding, not
+            # the crop-batch dp spec _recognize's in_shardings pins;
+            # reshard explicitly (GSPMD inserts the collective).
+            all_crops = jax.device_put(all_crops, self._bsh)
+            dev_lengths = jax.device_put(dev_lengths, self._bsh)
+            dev_valid = jax.device_put(dev_valid, self._bsh)
+        with self.timers.stage("recognize"):
+            ids, lens, conf = self._recognize(
+                self.crnn_params, all_crops, dev_lengths, dev_valid
+            )
+            for a in (ids, lens, conf):
+                try:
+                    a.copy_to_host_async()
+                except AttributeError:
+                    pass
+        dispatched.append((entries, order, ids, lens, conf))
 
     def _stage_collect(self, ctx) -> List[List[Tuple[np.ndarray, str, float]]]:
         cfg = self.config
@@ -632,7 +708,11 @@ class OCREngine:
         batch = np.zeros((1, canvas.height, canvas.width), np.uint8)
         batch[0, :oh, :ow] = _host_resize(arr, oh, ow)
 
-        key = (canvas, cfg.fast_max_boxes, cfg.fast_bucket_w)
+        if self._wire_bits < 8:
+            from bbocr_tpu.runtime.wire import pack_canvas
+
+            batch = pack_canvas(batch, self._wire_bits)
+        key = (canvas, cfg.fast_max_boxes, cfg.fast_bucket_w, self._wire_bits)
         if not hasattr(self, "_fast_cache"):
             self._fast_cache = {}
         if key not in self._fast_cache:

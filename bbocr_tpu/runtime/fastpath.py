@@ -89,7 +89,11 @@ def make_fast_readtext(engine, canvas_hw: Tuple[int, int], k: int, bucket_w: int
     h, w = canvas_hw
 
     def program(craft_params, crnn_params, canvas_u8):
-        gray = canvas_u8.astype(jnp.float32)  # (1, H, W)
+        # (1, H, W) float canvas; bit-packed uploads unpack in-program
+        # (runtime/wire.py — fused into the CRAFT stem by XLA).
+        from bbocr_tpu.runtime.wire import unpack_widen
+
+        gray = unpack_widen(canvas_u8, getattr(engine, "_wire_bits", 8))
         if getattr(engine, "_fold", False):
             maps = engine.craft_infer.apply(craft_params, gray[..., None])
         else:

@@ -386,3 +386,111 @@ class TestDetectPool:
         for q, t, c in res:
             q = np.asarray(q)
             assert q[:, 0].max() <= 130 and q[:, 1].max() <= 130
+
+
+class TestWire:
+    """Wire-reduction paths: bit-packed canvases + host rectification
+    (runtime/wire.py — the relay uplink is the serving binder)."""
+
+    def test_pack_unpack_roundtrip_4bit(self):
+        from bbocr_tpu.runtime import wire
+
+        rng = np.random.default_rng(7)
+        # Smooth ramp + noise: exercises both gradients (dither matters)
+        # and endpoints (must dequantize exactly to 0/255).
+        x = np.clip(
+            np.linspace(0, 255, 64)[None, None, :]
+            + rng.normal(0, 12, (2, 32, 64)),
+            0,
+            255,
+        ).astype(np.uint8)
+        x[0, 0, 0] = 0
+        x[0, 0, 1] = 255
+        packed = wire.pack_canvas(x, 4)
+        assert packed.shape == (2, 32, 32) and packed.dtype == np.uint8
+        out = np.asarray(wire.unpack_widen(jnp.asarray(packed), 4))
+        assert out.shape == x.shape
+        assert out[0, 0, 0] == 0.0 and out[0, 0, 1] == 255.0
+        err = out - x.astype(np.float32)
+        # Per-pixel error bounded by one quantization step (255/15 = 17).
+        assert np.abs(err).max() <= 17.0 + 1e-3
+        # Ordered dithering preserves local means: 4x4 block-averaged
+        # error must be far below the step size.
+        blocks = err.reshape(2, 8, 4, 16, 4).mean(axis=(2, 4))
+        assert np.abs(blocks).mean() < 4.0
+
+    def test_pack_2bit_shape_and_range(self):
+        from bbocr_tpu.runtime import wire
+
+        x = np.random.default_rng(3).integers(0, 256, (1, 8, 64), np.uint8)
+        packed = wire.pack_canvas(x, 2)
+        assert packed.shape == (1, 8, 16)
+        out = np.asarray(wire.unpack_widen(jnp.asarray(packed), 2))
+        assert out.shape == (1, 8, 64)
+        assert set(np.unique(out)).issubset({0.0, 85.0, 170.0, 255.0})
+        assert np.abs(out - x.astype(np.float32)).max() <= 85.0 + 1e-3
+
+    def test_pack_8bit_is_identity(self):
+        from bbocr_tpu.runtime import wire
+
+        x = np.random.default_rng(5).integers(0, 256, (1, 4, 8), np.uint8)
+        assert wire.pack_canvas(x, 8) is x
+        np.testing.assert_array_equal(
+            np.asarray(wire.unpack_widen(jnp.asarray(x), 8)), x.astype(np.float32)
+        )
+
+    def test_host_warp_matches_device_warp(self):
+        """Axis-aligned rect on a smooth field: the cv2 host warp and the
+        device gather warp sample the same bilinear surface."""
+        cv2 = pytest.importorskip("cv2")  # noqa: F841
+        from bbocr_tpu.runtime.rectify import quad_to_rect_homography, warp_crops
+        from bbocr_tpu.runtime.wire import host_warp_crop
+
+        h, w = 96, 128
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = ((xx * 1.7 + yy * 0.9) % 256).astype(np.uint8)
+        quad = np.array([[10, 20], [90, 20], [90, 52], [10, 52]], np.float32)
+        true_w, bucket_w = 80, 96
+        host = host_warp_crop(img, quad, true_w, 32, bucket_w, quad_to_rect_homography)
+        assert host.shape == (32, bucket_w)
+        homo = quad_to_rect_homography(quad, true_w)[None]
+        dev = np.asarray(
+            warp_crops(
+                jnp.asarray(img, jnp.float32)[None],
+                jnp.asarray(homo, jnp.float32),
+                jnp.zeros(1, jnp.int32),
+                jnp.asarray([true_w], jnp.int32),
+                bucket_w,
+            )
+        )[0]
+        assert np.abs(host[:, :true_w].astype(np.float32) - dev[:, :true_w]).max() <= 2.0
+        # Bucket padding replicates the last valid column on both paths.
+        np.testing.assert_array_equal(host[:, true_w:], np.repeat(host[:, true_w - 1 : true_w], bucket_w - true_w, axis=1))
+
+    def test_engine_wire_modes_plumbing(self):
+        """wire_bits=4 + host_rectify engine end to end, including the
+        stream path (ctx.grays must survive across pipeline stages)."""
+        pytest.importorskip("cv2")
+        from bbocr_tpu.runtime import EngineConfig, OCREngine
+        from bbocr_tpu.runtime.bucketing import CanvasSpec
+
+        cfg = EngineConfig(
+            canvases=(CanvasSpec(128, 96),),
+            width_buckets=(32, 64),
+            batch_capacities=(4, 8),
+            compute_dtype=jnp.float32,
+            wire_bits=4,
+            host_rectify=True,
+        )
+        engine = OCREngine.create(seed=0, config=cfg)
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 255, (200, 150), np.uint8) for _ in range(3)]
+        results = engine.readtext_batch(imgs)
+        assert len(results) == 3
+        for res in results:
+            for box, text, conf in res:
+                assert box.shape == (4, 2)
+                assert isinstance(text, str)
+                assert 0.0 <= conf <= 1.0
+        streamed = list(engine.readtext_stream(iter([imgs[:2], imgs[2:]])))
+        assert len(streamed) == 2 and len(streamed[0]) == 2
