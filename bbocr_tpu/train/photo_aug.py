@@ -106,6 +106,31 @@ def motion_blur(rng: random.Random, img: np.ndarray) -> np.ndarray:
     return np.apply_along_axis(lambda r: np.convolve(r, kernel, mode="same"), axis, img)
 
 
+def lowres_cycle(rng: random.Random, img: np.ndarray) -> np.ndarray:
+    """Downscale-(jpeg)-upscale round trip: the upscaled-from-tiny-source
+    regime.
+
+    The real eval covers are web-resolution scans (data/real/covers: 293 to
+    1000 px tall), so their rectified 32 px crops are UPSCALED from ~8-20 px
+    of source text — soft, aliased, with JPEG ringing baked in at the SMALL
+    size. The generator otherwise only ever downsamples sharp renders, and
+    the recognizer never sees this blur family (round-3 diagnosis: EasyOCR's
+    cover recall comes from exactly the small-print lines that upscale
+    worst)."""
+    h, w = img.shape
+    f = rng.uniform(0.30, 0.85)
+    dh, dw = max(4, int(h * f)), max(8, int(w * f))
+    pil = Image.fromarray(np.clip(img, 0, 255).astype(np.uint8))
+    down = pil.resize((dw, dh), rng.choice((Image.BILINEAR, Image.NEAREST, Image.BOX)))
+    if rng.random() < 0.5:
+        buf = io.BytesIO()
+        down.save(buf, format="JPEG", quality=rng.randint(45, 85))
+        buf.seek(0)
+        down = Image.open(buf)
+    up = down.resize((w, h), rng.choice((Image.BILINEAR, Image.BICUBIC)))
+    return np.asarray(up, np.float32)
+
+
 def photometric_crop_aug(
     rng: random.Random, crop: np.ndarray, *, strength: float = 1.0
 ) -> np.ndarray:
@@ -131,6 +156,10 @@ def photometric_crop_aug(
         out = motion_blur(rng, out)
     if rng.random() < 0.35 * strength:
         out = jpeg_artifacts(rng, np.clip(out, 0, 255))
+    # LAST: capture-time degradations above happened at the source's native
+    # (small) resolution; the engine's rectify-upscale to 32 px comes after.
+    if rng.random() < 0.35 * strength:
+        out = lowres_cycle(rng, out)
     return np.clip(out, 0, 255).astype(np.float32)
 
 

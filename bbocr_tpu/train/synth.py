@@ -375,12 +375,27 @@ class TextLineGenerator:
         y0 = self.rng.randint(0, max(1, cfg.height * 2 - size - 8))
         stroke = 0
         stroke_color = fg
+        fill = fg
         if self.rng.random() < (0.5 if busy_bg else 0.08 * cfg.style_aug):
             # contrasting outline around the glyphs (movie-poster display)
             stroke = max(1, size // 12)
             stroke_color = 0 if fg > 127 else 255
+        elif self.rng.random() < 0.06 * cfg.style_aug and size >= 22:
+            # hollow/outline-only display caps (engraved or knockout titles:
+            # stroke carries the letterform, interior matches the ground)
+            stroke = max(1, size // 14)
+            stroke_color = fg
+            fill = bg
         elif self.rng.random() < 0.15 * cfg.style_aug:
             stroke = self.rng.randint(1, 2)  # display/outline faces
+        # drop shadow: offset copy behind the glyphs (cover titles over art).
+        # Visible only when it contrasts the ground; drawn first so the main
+        # fill overprints it.
+        shadow = None
+        if abs(fg - bg) > 60 and self.rng.random() < (0.25 if busy_bg else 0.10) * cfg.style_aug:
+            sdx = self.rng.randint(1, max(2, size // 7))
+            sdy = self.rng.randint(1, max(2, size // 7))
+            shadow = ((sdx, sdy), (fg + bg) // 2 + self.rng.randint(-20, 20))
         tracking = 0
         if self.rng.random() < 0.3 * cfg.style_aug:
             # Letterspaced display caps: real covers track up to ~0.8em
@@ -392,12 +407,20 @@ class TextLineGenerator:
         pre_draw = np.asarray(img, np.int16).copy()
         if tracking:
             x = x0
+            jitter = max(1, size // 10) if self.rng.random() < 0.35 * cfg.style_aug else 0
             for ch in text:
-                draw.text((x, y0), ch, fill=fg, font=font, stroke_width=stroke, stroke_fill=stroke_color)
+                dy = self.rng.randint(-jitter, jitter) if jitter else 0
+                if shadow is not None:
+                    draw.text((x + shadow[0][0], y0 + dy + shadow[0][1]), ch,
+                              fill=int(np.clip(shadow[1], 0, 255)), font=font)
+                draw.text((x, y0 + dy), ch, fill=fill, font=font, stroke_width=stroke, stroke_fill=stroke_color)
                 cw = draw.textbbox((0, 0), ch, font=font)[2]
                 x += cw + tracking
         else:
-            draw.text((x0, y0), text, fill=fg, font=font, stroke_width=stroke, stroke_fill=stroke_color)
+            if shadow is not None:
+                draw.text((x0 + shadow[0][0], y0 + shadow[0][1]), text,
+                          fill=int(np.clip(shadow[1], 0, 255)), font=font)
+            draw.text((x0, y0), text, fill=fill, font=font, stroke_width=stroke, stroke_fill=stroke_color)
         if self.rng.random() < 0.2 * cfg.style_aug:
             # faux italic: horizontal shear around the text baseline
             shear = self.rng.uniform(-0.25, 0.25)
@@ -430,6 +453,23 @@ class TextLineGenerator:
                 ys = np.asarray([0, img.height - 1]); xs = np.asarray([0, img.width - 1])
         left, top = int(xs.min()), int(ys.min())
         right, bottom = int(xs.max()) + 1, int(ys.max()) + 1
+        if self.rng.random() < 0.12 * cfg.style_aug:
+            # gradient ink: metallic/foil display type fades across the line
+            # (covers set titles in gold foil whose luminance ramps 2x within
+            # a word); modulate only the ink's deviation from the ground so
+            # the background stays untouched.
+            arr = np.asarray(img, np.float32)
+            hh, ww = arr.shape
+            lo = self.rng.uniform(0.35, 0.8)
+            if self.rng.random() < 0.6:
+                ramp = np.linspace(lo, 1.0, ww, dtype=np.float32)[None, :]
+            else:
+                ramp = np.linspace(lo, 1.0, hh, dtype=np.float32)[:, None]
+            if self.rng.random() < 0.5:
+                ramp = ramp[::-1] if ramp.shape[0] > 1 else ramp[:, ::-1]
+            bgf = float(bg)
+            arr = np.where(ink, bgf + (arr - bgf) * ramp, arr)
+            img = Image.fromarray(np.clip(arr, 0, 255).astype(np.uint8))
         pad = self.rng.randint(1, 4)
         crop = img.crop((max(0, left - pad), max(0, top - pad), right + pad, bottom + pad))
         # Loose-crop augmentation: detected quads include margins around the
