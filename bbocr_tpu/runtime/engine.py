@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bbocr_tpu.decode import ctc_greedy_decode, extract_boxes_masked, sort_reading_order
+from bbocr_tpu.decode import ctc_greedy_decode, extract_boxes_masked, sort_reading_order, split_multiline_quads
 from bbocr_tpu.decode.boxes import DetectionParams
 from bbocr_tpu.models import CRAFT, CRNN, EN_CHARSET, Charset
 from bbocr_tpu.models.craft import normalize_image
@@ -519,6 +519,13 @@ class OCREngine:
             def _extract(job):
                 i, slot, masks, regions_q, pool = job
                 quads = extract_boxes_masked(masks[slot], regions_q[slot], cfg.detection)
+                if cfg.detection.split_multiline:
+                    quads = split_multiline_quads(
+                        quads,
+                        regions_q[slot].astype(np.float32) / 255.0,
+                        cfg.detection.low_text,
+                        cfg.detection.min_size_px,
+                    )
                 # map coords (maps are canvas / (2 * pool)) -> canvas coords
                 per_image_quads[i] = [q * (2.0 * pool) for q in quads]
 

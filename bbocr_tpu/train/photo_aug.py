@@ -21,6 +21,7 @@ deterministic per seed, matching the contract of ``train/synth.py``.
 from __future__ import annotations
 
 import io
+import os
 import random
 from typing import Optional, Tuple
 
@@ -256,6 +257,127 @@ def art_background(rng: random.Random, h: int, w: int) -> np.ndarray:
             d.rectangle([x0, y0, x1, y1], fill=shade)
     pil = pil.filter(ImageFilter.GaussianBlur(rng.uniform(0.4, 1.4)))
     return np.asarray(pil.resize((w, h), Image.BILINEAR), np.float32)
+
+
+_REAL_TEXTURES: "list[np.ndarray] | None" = None
+
+
+def _real_textures() -> "list[np.ndarray]":
+    """Grayscale crops of REAL photographic imagery shipped inside unrelated
+    site-packages (mujoco/dm_control/gymnasium textures: wood, marble, skin,
+    grass, skyboxes; matplotlib's grace_hopper portrait).
+
+    Round-3 diagnosis on data/real/covers/book6: the detector's region map
+    fires on 30% of a painted fantasy cover — procedural art_background noise
+    does not span organic texture statistics (skin, cloth, foliage), so the
+    model learned "local contrast = text". These are the negatives that do.
+    Eval imagery (data/real/) is deliberately NOT in the sweep."""
+    global _REAL_TEXTURES
+    if _REAL_TEXTURES is not None:
+        return _REAL_TEXTURES
+    import glob as _glob
+
+    roots = (
+        "/opt/venv/lib/python3.12/site-packages/mujoco/**",
+        "/opt/venv/lib/python3.12/site-packages/dm_control/**",
+        "/opt/venv/lib/python3.12/site-packages/gymnasium_robotics/**",
+        "/opt/venv/lib/python3.12/site-packages/matplotlib/mpl-data/sample_data/**",
+    )
+    paths: list = []
+    for r in roots:
+        for ext in ("*.png", "*.jpg", "*.bmp"):
+            paths.extend(_glob.glob(os.path.join(r, ext), recursive=True))
+    # Organic imagery first (wood/marble/skin/grass/sky/foliage — the
+    # statistics cover art actually has); the bulk of the sweep is rendered
+    # sim test frames (checkerboard floors) which are useful but must not
+    # dominate, so they are capped at 2 per directory.
+    _ORGANIC = (
+        "/textures", "outdoor_natural", "dog_assets", "sample_data",
+        "/pitch", "soccer_ball", "skybox",
+    )
+    organic = [p for p in paths if any(t in p for t in _ORGANIC)]
+    rest = [p for p in paths if p not in set(organic)]
+    rng = random.Random(0)
+    rng.shuffle(organic)
+    rng.shuffle(rest)
+    per_dir: dict = {}
+    capped_rest: list = []
+    for p in rest:
+        d = os.path.dirname(p)
+        if per_dir.get(d, 0) >= 2:
+            continue
+        per_dir[d] = per_dir.get(d, 0) + 1
+        capped_rest.append(p)
+
+    def _load(p, min_bytes):
+        try:
+            if os.path.getsize(p) < min_bytes:
+                return None
+            img = Image.open(p).convert("L")
+            if min(img.size) < 96:
+                return None
+            if max(img.size) > 640:
+                f = 640.0 / max(img.size)
+                img = img.resize(
+                    (max(1, int(img.size[0] * f)), max(1, int(img.size[1] * f))),
+                    Image.BILINEAR,
+                )
+            arr = np.asarray(img, np.float32)
+            if arr.std() < 12.0:  # flat fills teach nothing
+                return None
+            return arr
+        except Exception:
+            return None
+
+    out: list = []
+    for p in organic:  # organic textures are small files; no size floor
+        if len(out) >= 40:
+            break
+        arr = _load(p, 2_000)
+        if arr is not None:
+            out.append(arr)
+    for p in capped_rest:
+        if len(out) >= 64:
+            break
+        arr = _load(p, 8_000)
+        if arr is not None:
+            out.append(arr)
+    _REAL_TEXTURES = out
+    return out
+
+
+def real_texture_background(rng: random.Random, h: int, w: int) -> np.ndarray:
+    """Random crop of a real texture/photo, tone-jittered, (H, W) [0,255]."""
+    pool = _real_textures()
+    if not pool:
+        return art_background(rng, h, w)
+    src = pool[rng.randrange(len(pool))]
+    sh, sw = src.shape
+    # random zoom: crop between 40% and 100% of the source, then resize
+    f = rng.uniform(0.4, 1.0)
+    ch, cw = max(16, int(sh * f)), max(16, int(sw * f))
+    y0 = rng.randint(0, max(0, sh - ch))
+    x0 = rng.randint(0, max(0, sw - cw))
+    crop = src[y0 : y0 + ch, x0 : x0 + cw]
+    k = rng.randint(0, 3)
+    if k:
+        crop = np.rot90(crop, k)
+    pil = Image.fromarray(np.clip(crop, 0, 255).astype(np.uint8))
+    arr = np.asarray(pil.resize((w, h), Image.BILINEAR), np.float32)
+    # tone jitter so one texture covers many cover palettes
+    gain = rng.uniform(0.5, 1.3)
+    bias = rng.uniform(-40, 60)
+    arr = arr * gain + bias
+    if rng.random() < 0.3:
+        arr = 255.0 - arr
+    return np.clip(arr, 0, 255)
+
+
+def cover_background(rng: random.Random, h: int, w: int) -> np.ndarray:
+    """Busy cover ground: real photographic texture or procedural art."""
+    if rng.random() < 0.55:
+        return real_texture_background(rng, h, w)
+    return art_background(rng, h, w)
 
 
 def clutter_background(rng: random.Random, h: int, w: int) -> np.ndarray:

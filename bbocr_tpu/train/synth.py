@@ -356,9 +356,9 @@ class TextLineGenerator:
         if busy_bg:
             # cover-art ground: display text over busy imagery (the
             # rectified-crop view of data/real/covers)
-            from bbocr_tpu.train.photo_aug import art_background
+            from bbocr_tpu.train.photo_aug import cover_background
 
-            art = art_background(self.rng, cfg.height * 2, width * 2)
+            art = cover_background(self.rng, cfg.height * 2, width * 2)
             img = Image.fromarray(art.astype(np.uint8))
             m = float(art.mean())
             if m < 110:
@@ -605,9 +605,9 @@ class PageGenerator:
         else:
             bg = self.rng.randint(160, 250)
         if art_cover:
-            from bbocr_tpu.train.photo_aug import art_background
+            from bbocr_tpu.train.photo_aug import cover_background
 
-            page = art_background(self.rng, height, width)
+            page = cover_background(self.rng, height, width)
             bg = int(page.mean())
         else:
             page = np.full((height, width), bg, np.float32)

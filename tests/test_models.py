@@ -263,6 +263,76 @@ class TestFastPath:
             assert 0.0 <= conf <= 1.0
 
 
+class TestMultilineSplit:
+    """split_multiline_quads: re-segment CC components that fused stacked
+    text lines (cover title blocks, data/real/covers book5/book6)."""
+
+    def _quad(self, x, y, w, h):
+        return np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]], np.float32)
+
+    def test_fused_stack_splits_into_lines(self):
+        from bbocr_tpu.decode import split_multiline_quads
+
+        region = np.zeros((96, 128), np.float32)
+        rows = [(10, 22), (34, 46), (58, 70)]
+        for a, b in rows:
+            region[a:b, 12:110] = 0.8
+        fused = [self._quad(10, 8, 104, 66)]
+        out = split_multiline_quads(fused, region)
+        assert len(out) == 3
+        centers_y = sorted(float(q[:, 1].mean()) for q in out)
+        for cy, (a, b) in zip(centers_y, rows):
+            assert abs(cy - (a + b) / 2) < 5.0
+        for q in out:
+            h = q[:, 1].max() - q[:, 1].min()
+            assert h < 30  # each piece is one line, not the block
+
+    def test_single_line_untouched(self):
+        from bbocr_tpu.decode import split_multiline_quads
+
+        region = np.zeros((48, 128), np.float32)
+        region[18:30, 10:100] = 0.9
+        q = [self._quad(8, 16, 96, 16)]
+        out = split_multiline_quads(q, region)
+        assert len(out) == 1
+        assert np.allclose(out[0], q[0])
+
+    def test_vertical_spine_text_not_shredded(self):
+        from bbocr_tpu.decode import split_multiline_quads
+
+        # stacked square character blobs (vertical spine text): segments
+        # are char-shaped, not line-shaped -> guard keeps the quad whole
+        region = np.zeros((128, 48), np.float32)
+        for y0 in range(10, 110, 24):
+            region[y0 : y0 + 14, 16:30] = 0.9
+        q = [self._quad(14, 8, 18, 112)]
+        out = split_multiline_quads(q, region)
+        assert len(out) == 1
+        assert np.allclose(out[0], q[0])
+
+
+class TestCoverBackgrounds:
+    def test_real_texture_pool_loads(self):
+        from bbocr_tpu.train.photo_aug import _real_textures
+
+        pool = _real_textures()
+        # env-dependent sweep; in this image the sweep finds dozens
+        assert isinstance(pool, list)
+        for arr in pool[:4]:
+            assert arr.ndim == 2 and arr.std() >= 12.0
+
+    def test_cover_background_contract(self):
+        import random
+
+        from bbocr_tpu.train.photo_aug import cover_background, real_texture_background
+
+        rng = random.Random(3)
+        for fn in (cover_background, real_texture_background):
+            bg = fn(rng, 64, 192)
+            assert bg.shape == (64, 192)
+            assert float(bg.min()) >= 0.0 and float(bg.max()) <= 255.0
+
+
 class TestLineGrouping:
     def _quad(self, x, y, w, h):
         return np.array([[x, y], [x + w, y], [x + w, y + h], [x, y + h]], np.float32)
