@@ -481,6 +481,11 @@ def main():
                    help="orbax train-state dir: saves full resumable state every "
                         "--save-every and auto-resumes from the latest checkpoint")
     args = p.parse_args()
+    # Honor JAX_PLATFORMS=cpu over the axon sitecustomize pin (side-process
+    # training / CI on hosts where the tunneled chip is busy or down).
+    from bbocr_tpu.utils.env import sync_platform_from_env
+
+    sync_platform_from_env()
     if args.component == "crnn":
         train_crnn(args)
     elif args.component == "vlm":

@@ -404,18 +404,32 @@ class TextLineGenerator:
             # end, and those lines were its worst misses.
             hi = max(3, int(size * (0.8 if self.rng.random() < 0.3 else 0.35)))
             tracking = self.rng.randint(2, hi)
+        # Arched baseline: cover titles bow along a curve ("HARRY POTTER",
+        # "MOORCOCK" — data/real/covers/book1/book6); the rectified quad
+        # keeps the bow, so the recognizer sees chars riding a parabola.
+        arc = 0.0
+        if self.rng.random() < 0.12 * cfg.style_aug and len(text) >= 4:
+            arc = size * self.rng.uniform(0.12, 0.4) * self.rng.choice([-1.0, 1.0])
+            if arc > 0:  # upward bow: keep mid chars inside the canvas
+                y0 = max(y0, int(arc) + 1)
+            else:  # downward bow
+                y0 = min(y0, max(0, img.height - size - int(-arc) - 2))
         pre_draw = np.asarray(img, np.int16).copy()
-        if tracking:
+        if tracking or arc:
             x = x0
             jitter = max(1, size // 10) if self.rng.random() < 0.35 * cfg.style_aug else 0
-            for ch in text:
+            widths = [draw.textbbox((0, 0), ch, font=font)[2] for ch in text]
+            total = sum(widths) + tracking * max(0, len(text) - 1)
+            for i, ch in enumerate(text):
                 dy = self.rng.randint(-jitter, jitter) if jitter else 0
+                if arc and total > 0:
+                    t = (x - x0 + widths[i] / 2) / total
+                    dy += int(round(-arc * 4.0 * t * (1.0 - t)))
                 if shadow is not None:
                     draw.text((x + shadow[0][0], y0 + dy + shadow[0][1]), ch,
                               fill=int(np.clip(shadow[1], 0, 255)), font=font)
                 draw.text((x, y0 + dy), ch, fill=fill, font=font, stroke_width=stroke, stroke_fill=stroke_color)
-                cw = draw.textbbox((0, 0), ch, font=font)[2]
-                x += cw + tracking
+                x += widths[i] + tracking
         else:
             if shadow is not None:
                 draw.text((x0 + shadow[0][0], y0 + shadow[0][1]), text,
@@ -484,9 +498,31 @@ class TextLineGenerator:
         crop = crop.resize((w, text_h), Image.BILINEAR)
         out = np.full((cfg.height, width), bg, np.float32)
         y_off = self.rng.randint(0, cfg.height - text_h) if cfg.height > text_h else 0
-        x_off = self.rng.randint(0, max(0, min(6, width - w)))
+        # Cover furniture: display lines are flanked by rules/ornaments
+        # INSIDE the detected quad ("- SHACKLETON'S ----", data/real/covers/
+        # book4): the affinity map links the rule to the word, so the
+        # rectified crop contains dashes/dots the recognizer must read
+        # THROUGH, not decode as text. When furniture is on, the text also
+        # moves off the left edge (the quad starts at the left rule).
+        furniture = self.rng.random() < 0.20 * cfg.style_aug and width - w >= 32
+        if furniture:
+            x_off = self.rng.randint(12, min(width - w, 12 + (width - w) // 2))
+        else:
+            x_off = self.rng.randint(0, max(0, min(6, width - w)))
         out[y_off : y_off + text_h, x_off : x_off + w] = np.asarray(crop, np.float32)
-        edge = min(x_off + w, width - 1)
+        content_end = x_off + w
+        if furniture:
+            content_end = max(content_end, self._draw_furniture(
+                out, x_off, w, y_off, text_h, float(fg), float(bg), width))
+        if self.rng.random() < 0.15 * cfg.style_aug:
+            # Neighbor bleed: real quads clip ascenders/descenders of the
+            # adjacent line (a 2-6px sliver at the crop's top or bottom) and
+            # cut glyphs of neighboring words at the left/right boundary.
+            # The model must learn edge slivers are not characters.
+            content_end = self._draw_neighbor_bleed(
+                out, x_off, y_off, text_h, float(fg), float(bg),
+                content_end, width)
+        edge = min(content_end, width - 1)
         out[:, edge:] = out[:, edge - 1 : edge]  # edge-replicate like the engine
         # photo-like jitter: small rotation (book photos are hand-held) and
         # mild blur, matching what rectified crops of real captures look like
@@ -545,6 +581,99 @@ class TextLineGenerator:
         noise = self.np_rng.normal(0.0, cfg.noise_std, out.shape)
         out = np.clip(out + noise, 0, 255)
         return out.astype(np.float32), text
+
+    def _draw_furniture(self, out: np.ndarray, x_off: int, w: int, y_off: int,
+                        text_h: int, fg: float, bg: float, width: int) -> int:
+        """Flanking rules/ornaments in the text's own ink; returns the
+        rightmost drawn column (content end for edge replication)."""
+        rng = self.rng
+        ink = bg + (fg - bg) * rng.uniform(0.6, 1.0)  # rules often set lighter
+        yc = y_off + int(text_h * rng.uniform(0.35, 0.65))
+        th = rng.randint(1, 2)
+        gap = rng.randint(4, 14)
+        style = rng.random()  # 0-0.7 solid rule, 0.7-0.9 dotted, else ornament
+        content_end = x_off + w
+
+        def _rule(xa: int, xb: int) -> None:
+            ya, yb = max(0, yc - th // 2), min(out.shape[0], yc + (th + 1) // 2)
+            if style < 0.7:
+                out[ya:yb, xa:xb] = ink
+            elif style < 0.9:
+                step = rng.randint(3, 6)
+                dot = rng.randint(1, 2)
+                for x in range(xa, xb, step):
+                    out[ya:yb, x : min(x + dot, xb)] = ink
+            else:
+                s = rng.randint(2, min(6, max(3, text_h // 3)))
+                cx = (xa + xb) // 2
+                out[max(0, yc - s // 2) : yc + (s + 1) // 2, cx : cx + s] = ink
+
+        lx1 = x_off - gap
+        if lx1 > 6:
+            _rule(rng.randint(0, 4), lx1)
+        rx0 = x_off + w + gap
+        rx1 = min(width - rng.randint(0, 4), rx0 + rng.randint(10, width))
+        if rx1 - rx0 > 6:
+            _rule(rx0, rx1)
+            content_end = max(content_end, rx1)
+        return content_end
+
+    def _draw_neighbor_bleed(self, out: np.ndarray, x_off: int, y_off: int,
+                             text_h: int, fg: float, bg: float,
+                             content_end: int, width: int) -> int:
+        """Slivers of adjacent lines/words clipped by the quad boundary.
+        Only partial glyphs (<=40% visible) so the CTC label stays honest:
+        the model learns to ignore cut shapes at crop edges. Returns the
+        (possibly extended) content end for edge replication."""
+        rng = self.rng
+        h = out.shape[0]
+        ink = bg + (fg - bg) * rng.uniform(0.7, 1.0)
+        frag = rng.choice(string.ascii_uppercase + string.ascii_lowercase + string.digits)
+        frag = frag + rng.choice(string.ascii_lowercase) * rng.randint(0, 2)
+        size = rng.randint(max(10, text_h // 2), max(12, text_h))
+        font = self._font(size, frag)
+        fw = size * (len(frag) + 1)
+        tile = Image.new("L", (fw, size * 2), int(bg))
+        ImageDraw.Draw(tile).text((2, size // 3), frag, fill=int(ink), font=font)
+        ta = np.asarray(tile, np.float32)
+        ys, xs = np.nonzero(np.abs(ta - bg) > 8)
+        if xs.size < 4:
+            return content_end
+        glyph = ta[ys.min() : ys.max() + 1, xs.min() : xs.max() + 1]
+        gh, gw = glyph.shape
+
+        def _blend(dst: np.ndarray, src: np.ndarray) -> None:
+            if ink < bg:
+                np.minimum(dst, src, out=dst)
+            else:
+                np.maximum(dst, src, out=dst)
+
+        mode = rng.random()
+        if mode < 0.75:
+            # top/bottom sliver of the neighbouring line
+            s = rng.randint(2, max(3, min(6, gh - 1)))
+            top_margin, bot_margin = y_off, h - (y_off + text_h)
+            if max(top_margin, bot_margin) < s:
+                return content_end  # text fills the crop; sliver would overwrite
+            x = rng.randint(0, max(1, min(content_end, width) - gw - 1)) if gw < width else 0
+            band = glyph[:s] if rng.random() < 0.5 else glyph[-s:]
+            row = 0 if top_margin > bot_margin else h - s
+            dst = out[row : row + s, x : x + min(gw, width - x)]
+            _blend(dst, band[:, : dst.shape[1]])
+        else:
+            # left/right cut glyph of a neighbouring word
+            vis = max(2, int(gw * rng.uniform(0.15, 0.4)))
+            y = max(0, min(h - gh, y_off + rng.randint(-3, 3)))
+            if rng.random() < 0.5 and x_off >= vis + 3:
+                dst = out[y : y + gh, 0:vis]
+                _blend(dst, glyph[:, gw - vis :][: dst.shape[0], : dst.shape[1]])
+            elif content_end + 2 + vis < width:
+                x = content_end + rng.randint(2, 8)
+                x = min(width - vis, x)
+                dst = out[y : y + gh, x : x + vis]
+                _blend(dst, glyph[:, :vis][: dst.shape[0], : dst.shape[1]])
+                content_end = x + vis
+        return content_end
 
     def batch(self, batch_size: int, width: int = 256):
         """(B, H, W) crops, (B, L) labels, (B,) label_lens, (B,) frame_lens."""
