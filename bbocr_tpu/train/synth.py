@@ -184,6 +184,34 @@ _PUBLISHER_PATTERNS = (
 )
 
 
+_ONSETS = (
+    "b c d f g h j k l m n p r s t v w y z bl br ch cl cr dr fl fr gl gr "
+    "kn ph pl pr qu sc sh sk sl sm sn sp st str th tr wh wr"
+).split()
+_VOWELS = "a e i o u a e i o ai ea ee ie oa oo ou y".split()
+_CODAS = (
+    " b ck ct d ft g ge k l ld ll lt m mb n nd ng nt p r rd rk rn rt s sh "
+    "ss st t th x"
+).split()
+
+
+def _pseudo_word(rng: random.Random) -> str:
+    """English-shaped nonsense (SHACKLETON / MELNIBONE are in nobody's
+    lexicon): keeps the CTC head char-level honest instead of memorizing
+    the small _WORDS list — real covers are mostly rare proper nouns."""
+    n_syll = rng.choice((1, 2, 2, 3, 3, 4))
+    parts = []
+    for i in range(n_syll):
+        parts.append(rng.choice(_ONSETS) if (i or rng.random() < 0.8) else "")
+        parts.append(rng.choice(_VOWELS))
+    if rng.random() < 0.7:
+        parts.append(rng.choice(_CODAS).strip())
+    w = "".join(parts)
+    if rng.random() < 0.08:
+        w += "'s"
+    return w
+
+
 def _sample_name(rng: random.Random) -> str:
     s = rng.choice(_SURNAMES)
     style = rng.random()
@@ -316,6 +344,18 @@ class TextLineGenerator:
         if r < 0.52:
             pub = self.rng.choice(_PUBLISHER_PATTERNS).format(s=self.rng.choice(_SURNAMES))
             return pub.upper() if self.rng.random() < 0.4 else pub
+        if r < 0.68:
+            # proper-noun-shaped pseudo-words: the dominant regime of real
+            # cover titles (ENDURANCE / MELNIBONE / SHACKLETON'S)
+            n = self.rng.randint(1, 3)
+            words = [_pseudo_word(self.rng) for _ in range(n)]
+            s = self.rng.random()
+            text = " ".join(words)
+            if s < 0.5:
+                return text.upper()
+            if s < 0.85:
+                return text.title()
+            return text
         n_words = self.rng.randint(1, 4)
         words = [self.rng.choice(_WORDS) for _ in range(n_words)]
         style = self.rng.random()
