@@ -1,0 +1,182 @@
+"""Harvest labeled REAL text crops from the hand-transcribed eval corpus.
+
+The round-3 diagnosis showed synthetic val CER (0.015) can be 20x better
+than CER on real, legible, rectified crops (~0.3): the synthetic corpus is
+the only thing training ever measures, so regressions against the real
+regime are invisible until a full evaluate_real run. This tool closes the
+loop: it runs the serving engine on ``data/real`` images, re-warps every
+detected quad exactly as recognize saw it, fuzzy-aligns each decode to a
+contiguous word span of a ground-truth phrase, and writes the crops whose
+alignment is confident as (png, label) pairs. ``cli/train --val-real DIR``
+then reports CER on these during training.
+
+Labels come from the GT span (not the decode), so a bad recognizer still
+yields correct labels as long as the alignment is unambiguous; crops that
+align to nothing (texture junk, decorations) are skipped on purpose.
+
+Reference role: this mirrors how the reference validated easyocr output
+against hand-checked fields (pipeline_demo/extractor tests), applied at
+crop granularity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+
+def _norm(s: str) -> str:
+    return re.sub(r"\s+", " ", s.upper().strip())
+
+
+def _lev(a: str, b: str) -> int:
+    prev = np.arange(len(b) + 1, dtype=np.int32)
+    for i, ca in enumerate(a, 1):
+        cur = np.empty(len(b) + 1, np.int32)
+        cur[0] = i
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return int(prev[-1])
+
+
+def best_span_label(
+    crop_text: str, phrases: List[str], max_cer: float = 0.45
+) -> Tuple[Optional[str], float]:
+    """Best contiguous word-span of any GT phrase for this decode.
+
+    Returns (span with original casing, span CER) or (None, best_cer).
+    """
+    c = _norm(crop_text)
+    if len(c) < 3:
+        return None, 1.0
+    best: Tuple[Optional[str], float] = (None, 1.0)
+    for ph in phrases:
+        words = ph.split()
+        for i in range(len(words)):
+            for j in range(i + 1, len(words) + 1):
+                span = " ".join(words[i:j])
+                n = _norm(span)
+                if len(n) < 3:
+                    continue
+                cer = _lev(n, c) / max(1, len(n))
+                if cer < best[1]:
+                    best = (span, cer)
+    return (best[0], best[1]) if best[1] <= max_cer else (None, best[1])
+
+
+def harvest(
+    craft: str,
+    crnn: str,
+    out_dir: str,
+    books_filter: str = "",
+    max_cer: float = 0.45,
+    data_dir: str = "data/real",
+) -> dict:
+    import cv2
+    import jax.numpy as jnp
+
+    from bbocr_tpu.runtime import bucketing
+    from bbocr_tpu.runtime.engine import OCREngine, _host_resize, _to_gray_u8
+    from bbocr_tpu.runtime.rectify import quad_to_rect_homography, warp_crops
+
+    engine = OCREngine.from_checkpoint(craft, crnn)
+    gt = json.load(open(os.path.join(data_dir, "ground_truth.json")))["books"]
+    os.makedirs(out_dir, exist_ok=True)
+    labels: dict = {}
+    stats = {"books": 0, "crops_seen": 0, "crops_kept": 0}
+    for book_id, entry in sorted(gt.items()):
+        if books_filter and books_filter not in book_id:
+            continue
+        phrases = [p for p in entry.get("phrases", []) if p.strip()]
+        if not phrases:
+            continue
+        stats["books"] += 1
+        base = os.path.join(data_dir, book_id.split("/")[0])
+        img_dir = (
+            os.path.join(data_dir, os.path.dirname(book_id))
+            if "/" in book_id
+            else base
+        )
+        for img_name, sideways in zip(entry["images"], entry.get("sideways", [])):
+            path = os.path.join(img_dir, img_name)
+            if not os.path.exists(path):
+                path = os.path.join(data_dir, book_id, img_name)
+            if not os.path.exists(path):
+                continue
+            img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+            if img is None:
+                continue
+            if sideways:
+                img = np.rot90(img, -1).copy()
+            results = engine.readtext(img)
+            stats["crops_seen"] += len(results)
+            # re-warp each quad exactly as recognize saw it
+            g = _to_gray_u8(img)
+            canvas = bucketing.pick_canvas(g.shape[0], g.shape[1], engine.config.canvases)
+            scale, oh, ow = bucketing.letterbox_params(g.shape[0], g.shape[1], canvas)
+            batch = np.zeros((1, canvas.height, canvas.width), np.uint8)
+            batch[0, :oh, :ow] = _host_resize(g, oh, ow)
+            dev = jnp.asarray(batch).astype(jnp.float32)
+            tag = f"{book_id.replace('/', '_')}_{os.path.splitext(img_name)[0]}"
+            for k, (quad, text, conf) in enumerate(results):
+                label, cer = best_span_label(text, phrases, max_cer=max_cer)
+                if label is None:
+                    continue
+                q = np.asarray(quad, np.float32) * scale
+                true_w, bucket_w = bucketing.crop_width_for_quad(
+                    q, engine.config.width_buckets
+                )
+                homo = quad_to_rect_homography(q, true_w)
+                crop = np.asarray(
+                    warp_crops(
+                        dev,
+                        jnp.asarray(homo[None]),
+                        jnp.zeros(1, jnp.int32),
+                        jnp.asarray([true_w]),
+                        bucket_w,
+                    )
+                )[0, :, :true_w]
+                name = f"{tag}_{k:02d}.png"
+                cv2.imwrite(
+                    os.path.join(out_dir, name),
+                    np.clip(crop, 0, 255).astype(np.uint8),
+                )
+                labels[name] = {
+                    "label": label,
+                    "decode": text,
+                    "align_cer": round(cer, 3),
+                    "conf": round(float(conf), 3),
+                }
+                stats["crops_kept"] += 1
+    with open(os.path.join(out_dir, "labels.json"), "w") as f:
+        json.dump(labels, f, indent=1, ensure_ascii=False)
+    return stats
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--craft", default="checkpoints/craft.npz")
+    p.add_argument("--crnn", default="checkpoints/crnn.npz")
+    p.add_argument("--out", default="data/real_crops")
+    p.add_argument("--books", default="", help="substring filter on book id")
+    p.add_argument("--max-cer", type=float, default=0.45)
+    p.add_argument("--data-dir", default="data/real")
+    args = p.parse_args()
+    from bbocr_tpu.utils.env import sync_platform_from_env
+
+    sync_platform_from_env()
+    stats = harvest(
+        args.craft, args.crnn, args.out,
+        books_filter=args.books, max_cer=args.max_cer, data_dir=args.data_dir,
+    )
+    print(json.dumps(stats))
+
+
+if __name__ == "__main__":
+    main()

@@ -165,6 +165,41 @@ def _maybe_save_state(args, step, params, opt_state):
     )
 
 
+def _load_real_val(dir_path: str, max_width: int):
+    """Load harvested real crops (see cli/harvest_real_crops.py) into one
+    padded (N_padded, 32, max_width) u8 array + N reference labels. Crops
+    wider than max_width are aspect-squeezed like the engine's top bucket;
+    batch rows are padded to a multiple of 64 to bound jit shapes (labels
+    are NOT padded — callers decode only the first N rows)."""
+    import json as _json
+
+    from PIL import Image
+
+    with open(os.path.join(dir_path, "labels.json")) as f:
+        meta = _json.load(f)
+    names = sorted(meta)
+    refs, crops = [], []
+    for name in names:
+        img = Image.open(os.path.join(dir_path, name)).convert("L")
+        if img.height != 32:
+            img = img.resize((max(8, round(img.width * 32 / img.height)), 32), Image.BILINEAR)
+        if img.width > max_width:
+            img = img.resize((max_width, 32), Image.BILINEAR)
+        a = np.asarray(img, np.float32)
+        row = np.empty((32, max_width), np.float32)
+        row[:, : a.shape[1]] = a
+        row[:, a.shape[1] :] = a[:, -1:]
+        crops.append(row)
+        entry = meta[name]
+        refs.append(entry["label"] if isinstance(entry, dict) else str(entry))
+    n = len(crops)
+    padded = ((n + 63) // 64) * 64
+    out = np.zeros((padded, 32, max_width), np.float32)
+    if n:
+        out[:n] = np.stack(crops)
+    return out, refs
+
+
 def train_crnn(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -234,6 +269,19 @@ def train_crnn(args) -> None:
     val_refs = [
         cfg.charset.decode_ids(val_labels[i][: val_label_lens[i]]) for i in range(64)
     ]
+    # Real-crop validation (cli/harvest_real_crops.py output): synthetic val
+    # CER was 20x better than CER on real rectified crops (round-3 EVAL.md),
+    # so the synthetic number alone cannot gate quality work.
+    real_crops = real_refs = None
+    if getattr(args, "val_real", None):
+        try:
+            real_crops, real_refs = _load_real_val(args.val_real, max(widths))
+            if not real_refs:
+                real_crops = real_refs = None
+        except (OSError, ValueError, KeyError) as e:
+            print(f"val-real disabled ({args.val_real}: {e})", flush=True)
+        else:
+            print(f"real val: {len(real_refs or [])} crops from {args.val_real}", flush=True)
 
     @jax.jit
     def predict(p, crops):
@@ -258,10 +306,19 @@ def train_crnn(args) -> None:
             ids, lens = np.asarray(ids), np.asarray(lens)
             hyps = [cfg.charset.decode_ids(ids[i][: lens[i]]) for i in range(len(val_refs))]
             val_cer = corpus_cer(val_refs, hyps)
+            real_part = ""
+            if real_crops is not None:
+                rids, rlens, _ = predict(params, jnp.asarray(real_crops))
+                rids, rlens = np.asarray(rids), np.asarray(rlens)
+                rhyps = [
+                    cfg.charset.decode_ids(rids[i][: rlens[i]])
+                    for i in range(len(real_refs))
+                ]
+                real_part = f"real_cer {corpus_cer(real_refs, rhyps):.4f} "
             rate = (step - start_step) * args.batch / (time.time() - t0)
             print(
                 f"step {step:6d} loss {mean_loss:8.4f} "
-                f"val_cer {val_cer:.4f} crops/s {rate:8.1f} "
+                f"val_cer {val_cer:.4f} {real_part}crops/s {rate:8.1f} "
                 f"sample {hyps[0]!r} vs {val_refs[0]!r}",
                 flush=True,
             )
@@ -477,6 +534,9 @@ def main():
     p.add_argument("--vlm-target", choices=["json", "text"], default="json",
                    help="vlm training target: json = metadata (end task), "
                         "text = literal page transcription (reading curriculum)")
+    p.add_argument("--val-real", type=str, default=None,
+                   help="dir of harvested real crops (cli/harvest_real_crops)"
+                        " to report real_cer on during crnn training")
     p.add_argument("--state-dir", type=str, default=None,
                    help="orbax train-state dir: saves full resumable state every "
                         "--save-every and auto-resumes from the latest checkpoint")
