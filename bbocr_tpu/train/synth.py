@@ -802,9 +802,16 @@ class PageGenerator:
             centered = False
         else:  # cover: huge display title + author/publisher lines
             n_lines = self.rng.randint(2, 4)
-            sizes = [ri(30 * s, 64 * s)] + [
-                ri(14 * s, 30 * s) for _ in range(n_lines - 1)
-            ]
+            if self.rng.random() < 0.3:
+                # Giant-title regime: real covers set the title at 1/3 of
+                # the cover height ("1984", the HARRY POTTER logo) — 300+px
+                # on the serving canvas. The old 64px cap meant the region
+                # map had never seen such strokes and the detector
+                # fragmented them (covers/book1/book2 diagnoses).
+                first = ri(64 * s, int(height * 0.45))
+            else:
+                first = ri(30 * s, 64 * s)
+            sizes = [first] + [ri(14 * s, 30 * s) for _ in range(n_lines - 1)]
             gap_range = (max(1, int(14 * s)), max(2, int(48 * s)))
             centered = True
 
@@ -843,8 +850,17 @@ class PageGenerator:
         pil_page = Image.fromarray(np.clip(page, 0, 255).astype(np.uint8))
         draw = ImageDraw.Draw(pil_page)
         page_dirty = False
+        giant_cut = int(56 * s)
         for size in sizes:
-            text = self.lines.sample_text()
+            if size >= giant_cut:
+                # giant titles are short: a year or one display word
+                r = self.rng.random()
+                if r < 0.3:
+                    text = str(self.rng.randint(1850, 2029))
+                else:
+                    text = _pseudo_word(self.rng)[:7].upper() if r < 0.75 else self.rng.choice(_WORDS)[:7].upper()
+            else:
+                text = self.lines.sample_text()
             font = self.lines._font(size, text)
             # display-type styling on covers: letterspaced caps + outline
             tracking = 0
@@ -856,6 +872,16 @@ class PageGenerator:
                 hi = max(3, int(size * (0.7 if self.rng.random() < 0.3 else 0.35)))
                 tracking = self.rng.randint(2, hi)
             bbox0 = draw.textbbox((0, 0), text, font=font)
+            # shrink-to-fit: overflowing lines would clip glyphs at the page
+            # edge while the even-split gaussians squeeze inside it — a
+            # glyph/label mismatch that corrupts the region map.
+            while size > 9 and bbox0[2] + 2 + tracking * max(0, len(text) - 1) > width:
+                size = max(9, int(size * 0.85))
+                try:
+                    font = ImageFont.truetype(font.path, size)
+                except (AttributeError, OSError):
+                    break
+                bbox0 = draw.textbbox((0, 0), text, font=font)
             tw = min(bbox0[2] + 2 + tracking * max(0, len(text) - 1), width)
             th = min(bbox0[3] + 2, height)
             if y + th >= height:
