@@ -123,6 +123,51 @@ class TestSynth:
         assert maps.shape == (2, 64, 48, 2)
         assert maps.max() <= 1.0 and maps.max() > 0.3  # gaussians present
 
+    def test_furniture_and_bleed_keep_labels_honest(self):
+        """Cover furniture (flanking rules) and neighbor bleed add UNLABELED
+        ink to the crop; the label must still be the rendered text and the
+        crop must stay legible (the legibility gate sees furniture pixels
+        as part of the mask, not as contrast loss)."""
+        import numpy as np
+
+        from bbocr_tpu.train.synth import SynthConfig, TextLineGenerator
+
+        gen = TextLineGenerator(SynthConfig(), seed=77)
+        for _ in range(48):
+            crop, text = gen.render(width=256)
+            assert crop.shape == (32, 256)
+            assert text and all(c in gen.config.charset.chars for c in text)
+            assert np.isfinite(crop).all()
+
+    def test_pseudo_words_fit_charset(self):
+        from bbocr_tpu.train.synth import _pseudo_word
+        import random
+
+        rng = random.Random(3)
+        for _ in range(200):
+            w = _pseudo_word(rng)
+            assert 1 <= len(w) <= 24
+            assert w.replace("'", "").isalpha()
+
+    def test_giant_title_pages_label_within_bounds(self):
+        """Giant display lines (up to 0.45*H) must keep their gaussians on
+        the half-res map and never overflow the page (shrink-to-fit)."""
+        from bbocr_tpu.train.synth import PageGenerator, SynthConfig
+
+        gen = PageGenerator(SynthConfig(photo_aug=0.0), seed=9)
+        saw_giant = False
+        for _ in range(40):
+            page, maps = gen.render(256, 192)
+            assert page.shape == (256, 192)
+            assert maps.shape == (128, 96, 2)
+            assert maps.min() >= 0.0 and maps.max() <= 1.0
+            if maps[..., 0].sum() > 0:
+                # a giant line produces a tall contiguous region blob
+                rows = (maps[..., 0] > 0.4).any(axis=1)
+                if rows.sum() >= 40:  # >=80px of text height at full res
+                    saw_giant = True
+        assert saw_giant, "giant-title branch never sampled in 40 pages"
+
 
 class TestEngine:
     def test_end_to_end_plumbing(self):
