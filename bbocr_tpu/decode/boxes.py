@@ -300,6 +300,75 @@ def split_multiline_quads(
     return out
 
 
+def merge_coarse_quads(
+    fine: List[np.ndarray],
+    coarse: List[np.ndarray],
+    giant_min_px: float = 96.0,
+    covered_thresh: float = 0.5,
+    absorb_thresh: float = 0.7,
+) -> List[np.ndarray]:
+    """Merge quads from an additional coarse-scale detect pass.
+
+    Giant display type (cover titles at 300+px on the canvas) exceeds the
+    glyph sizes the detector generalizes to at full resolution: the region
+    map fires on stroke EDGES and CC emits fragments. At 1/p resolution the
+    same title looks like ordinary text and detects as one clean component.
+    This merge keeps the fine pass as the source of truth for normal text
+    and adds a coarse quad ONLY when it is giant (min side >=
+    ``giant_min_px`` canvas px) and the fine pass has no real answer there
+    (fine quads cover < ``covered_thresh`` of its area). Fine quads mostly
+    inside an adopted coarse quad (>= ``absorb_thresh`` of their own area)
+    are dropped — they are stroke fragments of the very glyphs the coarse
+    quad just recovered.
+
+    Overlap uses axis-aligned bounding boxes: detector quads are
+    near-axis rotated rects, and the decision thresholds are coarse.
+    All quads must already be in the SAME coordinate system (canvas px).
+    """
+
+    def aabb(q: np.ndarray):
+        return (
+            float(q[:, 0].min()), float(q[:, 1].min()),
+            float(q[:, 0].max()), float(q[:, 1].max()),
+        )
+
+    def inter(a, b) -> float:
+        w = min(a[2], b[2]) - max(a[0], b[0])
+        h = min(a[3], b[3]) - max(a[1], b[1])
+        return max(0.0, w) * max(0.0, h)
+
+    def area(a) -> float:
+        return max(0.0, a[2] - a[0]) * max(0.0, a[3] - a[1])
+
+    fine_boxes = [aabb(q) for q in fine]
+    adopted: List[np.ndarray] = []
+    adopted_boxes = []
+    for cq in coarse:
+        cb = aabb(cq)
+        w, h = cb[2] - cb[0], cb[3] - cb[1]
+        if min(w, h) < giant_min_px:
+            continue
+        ca = area(cb)
+        if ca <= 0:
+            continue
+        covered = sum(inter(cb, fb) for fb in fine_boxes) / ca
+        if covered < covered_thresh:
+            adopted.append(cq)
+            adopted_boxes.append(cb)
+    if not adopted:
+        return list(fine)
+    out: List[np.ndarray] = []
+    for q, fb in zip(fine, fine_boxes):
+        fa = area(fb)
+        absorbed = fa > 0 and any(
+            inter(fb, ab) / fa >= absorb_thresh for ab in adopted_boxes
+        )
+        if not absorbed:
+            out.append(q)
+    out.extend(adopted)
+    return out
+
+
 def group_lines(quads: List[np.ndarray]) -> List[List[int]]:
     """Cluster quads into text lines, top-to-bottom / left-to-right.
 

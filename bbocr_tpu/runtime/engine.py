@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from bbocr_tpu.decode import ctc_greedy_decode, extract_boxes_masked, sort_reading_order, split_multiline_quads
-from bbocr_tpu.decode.boxes import DetectionParams
+from bbocr_tpu.decode.boxes import DetectionParams, merge_coarse_quads
 from bbocr_tpu.models import CRAFT, CRNN, EN_CHARSET, Charset
 from bbocr_tpu.models.craft import normalize_image
 from bbocr_tpu.models.crnn import INPUT_HEIGHT
@@ -74,6 +74,13 @@ class EngineConfig:
     # Bayer-dithered and are unpacked inside the device program — the
     # uplink is the serving binder on relayed links (runtime/wire.py).
     wire_bits: int = int(os.environ.get("BB_OCR_WIRE_BITS", "8"))
+    # Additive coarse detect scale (0/1 = off; 2 or 4 = pool factor):
+    # giant display type (cover titles, 300+px glyphs on the canvas)
+    # fragments at full resolution; a second pass over the SAME device
+    # canvas at 1/p resolution (1/p^2 the FLOPs, no extra upload) sees it
+    # as ordinary text. Coarse quads are adopted only where the fine pass
+    # has no real answer (decode/boxes.py merge_coarse_quads).
+    detect_coarse: int = int(os.environ.get("BB_OCR_DETECT_COARSE", "0"))
     # Rectify recognition crops on the HOST (cv2, from the ORIGINAL photo
     # at native detail) and upload small u8 strips, instead of device
     # gather-warps from the letterboxed canvas. Decouples recognition from
@@ -473,7 +480,11 @@ class OCREngine:
             )
             with self.timers.stage("detect"):
                 masks_dev, regions_dev = self._detect(self.craft_params, dev_batch, pool)
-            pending.append((src_key, idxs, masks_dev, regions_dev, pool))
+                coarse = None
+                if cfg.detect_coarse > 1 and pool == 1:
+                    cm, cr = self._detect(self.craft_params, dev_batch, cfg.detect_coarse)
+                    coarse = (cm, cr, cfg.detect_coarse)
+            pending.append((src_key, idxs, masks_dev, regions_dev, pool, coarse))
 
         ctx = _BatchCtx()
         ctx.n_img = n_img
@@ -499,35 +510,49 @@ class OCREngine:
         # copies first (async): later chunks' transfers ride the link while
         # earlier chunks run host CC labeling, instead of each np.asarray
         # serializing a full round trip before any host work starts.
-        for _, _, masks_dev, regions_dev, _ in pending:
-            for a in (masks_dev, regions_dev):
+        for _, _, masks_dev, regions_dev, _, coarse in pending:
+            arrays = [masks_dev, regions_dev]
+            if coarse is not None:
+                arrays += [coarse[0], coarse[1]]
+            for a in arrays:
                 try:
                     a.copy_to_host_async()
                 except AttributeError:
                     pass
-        box_jobs: List[Tuple[int, int, np.ndarray, np.ndarray, int]] = []
-        for src_key, idxs, masks_dev, regions_dev, pool in pending:
+        box_jobs: List[Tuple] = []
+        for src_key, idxs, masks_dev, regions_dev, pool, coarse in pending:
             with self.timers.stage("detect"):
                 masks = np.asarray(masks_dev)
                 regions_q = np.asarray(regions_dev)
+                c_host = None
+                if coarse is not None:
+                    c_host = (np.asarray(coarse[0]), np.asarray(coarse[1]), coarse[2])
             for slot, i in enumerate(idxs):
-                box_jobs.append((i, slot, masks, regions_q, pool))
+                box_jobs.append((i, slot, masks, regions_q, pool, c_host))
         with self.timers.stage("boxes"):
             # Per-slot CC labeling fans out over the host pool: the native
             # labeler is a ctypes call (GIL released), so slots of a chunk
             # genuinely run in parallel.
             def _extract(job):
-                i, slot, masks, regions_q, pool = job
-                quads = extract_boxes_masked(masks[slot], regions_q[slot], cfg.detection)
-                if cfg.detection.split_multiline:
-                    quads = split_multiline_quads(
-                        quads,
-                        regions_q[slot].astype(np.float32) / 255.0,
-                        cfg.detection.low_text,
-                        cfg.detection.min_size_px,
-                    )
-                # map coords (maps are canvas / (2 * pool)) -> canvas coords
-                per_image_quads[i] = [q * (2.0 * pool) for q in quads]
+                i, slot, masks, regions_q, pool, c_host = job
+
+                def quads_from(m, r, p):
+                    qs = extract_boxes_masked(m, r, cfg.detection)
+                    if cfg.detection.split_multiline:
+                        qs = split_multiline_quads(
+                            qs,
+                            r.astype(np.float32) / 255.0,
+                            cfg.detection.low_text,
+                            cfg.detection.min_size_px,
+                        )
+                    # map coords (maps are canvas / (2*p)) -> canvas coords
+                    return [q * (2.0 * p) for q in qs]
+
+                quads = quads_from(masks[slot], regions_q[slot], pool)
+                if c_host is not None:
+                    cq = quads_from(c_host[0][slot], c_host[1][slot], c_host[2])
+                    quads = merge_coarse_quads(quads, cq)
+                per_image_quads[i] = quads
 
             if len(box_jobs) > 1:
                 list(_letterbox_pool().map(_extract, box_jobs))

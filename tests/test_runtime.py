@@ -192,6 +192,49 @@ class TestEngine:
                 assert 0.0 <= conf <= 1.0
         assert isinstance(engine.read_joined(img), str)
 
+    def test_coarse_scale_plumbing(self):
+        """detect_coarse runs a second pooled pass over the SAME device
+        canvas and merges quads; output contract unchanged."""
+        from bbocr_tpu.runtime import EngineConfig, OCREngine
+        from bbocr_tpu.runtime.bucketing import CanvasSpec
+
+        cfg = EngineConfig(
+            canvases=(CanvasSpec(128, 96),),
+            width_buckets=(32, 64),
+            batch_capacities=(4, 8),
+            compute_dtype=jnp.float32,
+            detect_coarse=2,
+        )
+        engine = OCREngine.create(seed=0, config=cfg)
+        img = np.random.default_rng(0).integers(0, 255, (200, 150), np.uint8)
+        results = engine.readtext_batch([img, img])
+        assert len(results) == 2
+        for res in results:
+            for box, text, conf in res:
+                assert box.shape == (4, 2)
+                assert isinstance(text, str)
+
+    def test_merge_coarse_quads_rules(self):
+        from bbocr_tpu.decode.boxes import merge_coarse_quads
+
+        def rect(x0, y0, x1, y1):
+            return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], np.float32)
+
+        # giant coarse quad over fine fragments: adopted, fragments dropped
+        frags = [rect(10, 10, 40, 120), rect(60, 12, 90, 118), rect(500, 10, 600, 40)]
+        giant = [rect(0, 0, 400, 130)]
+        merged = merge_coarse_quads(frags, giant, giant_min_px=96.0)
+        assert len(merged) == 2  # the far-away fine quad + the giant
+        assert any((q == giant[0]).all() for q in merged)
+        assert any((q == frags[2]).all() for q in merged)
+        # coarse quad already covered by a proper fine detection: ignored
+        fine = [rect(0, 0, 390, 125)]
+        merged = merge_coarse_quads(fine, giant, giant_min_px=96.0)
+        assert len(merged) == 1 and (merged[0] == fine[0]).all()
+        # small coarse quads never adopted
+        merged = merge_coarse_quads([], [rect(0, 0, 50, 50)], giant_min_px=96.0)
+        assert merged == []
+
     def test_stream_matches_batch(self):
         """readtext_stream's pipelined path is result-identical to
         per-batch readtext_batch calls (same programs, reordered host
