@@ -858,12 +858,14 @@ class OCREngine:
 
         Generalizes :meth:`reread_isbn`'s mechanism: every result under
         ``conf_ths`` is re-sampled from the original pixels (sharper than
-        the letterboxed canvas) and decoded with prefix beam search
-        (``decode/beam.py``); the reading with the better length-normalized
+        the letterboxed canvas) and decoded with prefix beam search ON
+        DEVICE (``decode/beam_device.py`` — one vectorized program for the
+        whole re-read batch; the host loop in ``decode/beam.py`` remains
+        the parity oracle); the reading with the better length-normalized
         confidence wins. One batched dispatch for all re-read crops.
         Returns a new results list (same quads/order).
         """
-        from bbocr_tpu.decode.beam import ctc_beam_decode
+        from bbocr_tpu.decode.beam_device import ctc_beam_decode_device
 
         idxs = [i for i, (_, t, c) in enumerate(results) if c < conf_ths and t]
         idxs.sort(key=lambda i: results[i][2])
@@ -873,14 +875,18 @@ class OCREngine:
         logits, frames = self.lines_logits(
             image, [results[i][0] for i in idxs], bucket_w
         )
+        b_ids, b_lens, _ = ctc_beam_decode_device(
+            jnp.asarray(logits), jnp.asarray(frames),
+            beam_width=beam_width, max_len=48,
+        )
+        b_ids, b_lens = np.asarray(b_ids), np.asarray(b_lens)
         out = list(results)
         for k, i in enumerate(idxs):
             quad, text, conf = results[i]
             lp = logits[k, : frames[k]].astype(np.float64)
             m = lp.max(-1, keepdims=True)
             lp = lp - (m + np.log(np.exp(lp - m).sum(-1, keepdims=True)))
-            labels, _ = ctc_beam_decode(lp, beam_width=beam_width)
-            text2 = self.charset.decode_ids(labels)
+            text2 = self.charset.decode_ids(b_ids[k][: b_lens[k]])
             # greedy-path confidence of the re-read (same EasyOCR-style
             # product the first read carries)
             best = lp.argmax(-1)
