@@ -74,6 +74,11 @@ class EngineConfig:
     # Bayer-dithered and are unpacked inside the device program — the
     # uplink is the serving binder on relayed links (runtime/wire.py).
     wire_bits: int = int(os.environ.get("BB_OCR_WIRE_BITS", "8"))
+    # CTC decoder for the main recognize program: "greedy" (easyocr's
+    # default, fastest) or "beam" (on-device prefix beam,
+    # decode/beam_device.py — recovers ambiguous display type at extra
+    # scan cost; confidence becomes exp(prefix log-prob)).
+    decoder: str = os.environ.get("BB_OCR_DECODER", "greedy")
     # Additive coarse detect scale (0/1 = off; 2 or 4 = pool factor):
     # giant display type (cover titles, 300+px glyphs on the canvas)
     # fragments at full resolution; a second pass over the SAME device
@@ -201,6 +206,11 @@ class OCREngine:
             # crops (N, 32, W) in [0,255] -> normalized (N, 32, W, 1)
             x = (crops / 127.5 - 1.0)[..., None]
             logits = self.crnn.apply(params, x)
+            if config.decoder == "beam":
+                from bbocr_tpu.decode.beam_device import ctc_beam_decode_device
+
+                ids, lens, score = ctc_beam_decode_device(logits, lengths)
+                return ids, lens, jnp.exp(score)
             return ctc_greedy_decode(logits, lengths)
 
         def recognize(params, crops, lengths, valid):
