@@ -14,10 +14,29 @@ from __future__ import annotations
 import argparse
 import os
 import queue
+import signal
 import threading
 import time
 
 import numpy as np
+
+# Graceful-stop flag: SIGTERM requests "save and exit at the next step
+# boundary". SIGKILLing a training client mid-compile has poisoned the
+# remote compiler on relayed TPU links for hours (docs/ROADMAP.md round-3
+# log); drivers should `timeout --signal=TERM --kill-after=...` and let the
+# loop finish its in-flight step, checkpoint, and exit.
+_STOP_REQUESTED = threading.Event()
+
+
+def _install_sigterm_handler() -> None:
+    def _handler(signum, frame):
+        _STOP_REQUESTED.set()
+        print("SIGTERM: finishing current step, saving, exiting", flush=True)
+
+    try:
+        signal.signal(signal.SIGTERM, _handler)
+    except ValueError:
+        pass  # non-main thread (library use)
 
 
 def _warm_backend() -> None:
@@ -322,11 +341,14 @@ def train_crnn(args) -> None:
                 f"sample {hyps[0]!r} vs {val_refs[0]!r}",
                 flush=True,
             )
-        if step % args.save_every == 0 or step == args.steps:
+        if step % args.save_every == 0 or step == args.steps or _STOP_REQUESTED.is_set():
             os.makedirs(args.out, exist_ok=True)
             name = "crnn.npz" if args.charset == "en" else f"crnn_{args.charset}.npz"
             save_params(os.path.join(args.out, name), jax.device_get(params))
             _maybe_save_state(args, step, params, opt_state)
+        if _STOP_REQUESTED.is_set():
+            print(f"stopped early at step {step}", flush=True)
+            break
     stop.set()
     name = "crnn.npz" if args.charset == "en" else f"crnn_{args.charset}.npz"
     print(f"saved {os.path.join(args.out, name)}")
@@ -391,10 +413,13 @@ def train_craft(args) -> None:
                 f"step {step:6d} loss {mean_loss:8.5f} pages/s {rate:7.1f}",
                 flush=True,
             )
-        if step % args.save_every == 0 or step == args.steps:
+        if step % args.save_every == 0 or step == args.steps or _STOP_REQUESTED.is_set():
             os.makedirs(args.out, exist_ok=True)
             save_params(os.path.join(args.out, "craft.npz"), jax.device_get(params))
             _maybe_save_state(args, step, params, opt_state)
+        if _STOP_REQUESTED.is_set():
+            print(f"stopped early at step {step}", flush=True)
+            break
     stop.set()
     print(f"saved {os.path.join(args.out, 'craft.npz')}")
 
@@ -489,11 +514,14 @@ def train_vlm(args) -> None:
                 f"pages/s {rate:7.1f} sample {sample[:70]!r}",
                 flush=True,
             )
-        if step % args.save_every == 0 or step == args.steps:
+        if step % args.save_every == 0 or step == args.steps or _STOP_REQUESTED.is_set():
             os.makedirs(args.out, exist_ok=True)
             name = "vlm.npz" if args.vlm_target == "json" else "vlm_read.npz"
             save_params(os.path.join(args.out, name), jax.device_get(params))
             _maybe_save_state(args, step, params, opt_state)
+        if _STOP_REQUESTED.is_set():
+            print(f"stopped early at step {step}", flush=True)
+            break
     stop.set()
     name = "vlm.npz" if args.vlm_target == "json" else "vlm_read.npz"
     print(f"saved {os.path.join(args.out, name)}")
@@ -546,6 +574,7 @@ def main():
     from bbocr_tpu.utils.env import sync_platform_from_env
 
     sync_platform_from_env()
+    _install_sigterm_handler()
     if args.component == "crnn":
         train_crnn(args)
     elif args.component == "vlm":
