@@ -70,6 +70,65 @@ def best_span_label(
     return (best[0], best[1]) if best[1] <= max_cer else (None, best[1])
 
 
+def harvest_image(
+    engine,
+    img: np.ndarray,
+    phrases: List[str],
+    tag: str,
+    out_dir: str,
+    labels: dict,
+    stats: dict,
+    max_cer: float = 0.45,
+) -> None:
+    """Run the serving engine on one image, re-warp every detected quad
+    exactly as recognize saw it, and keep crops whose decode aligns to a
+    GT phrase span. Appends to ``labels``/``stats`` and writes PNGs."""
+    import cv2
+    import jax.numpy as jnp
+
+    from bbocr_tpu.runtime import bucketing
+    from bbocr_tpu.runtime.engine import _host_resize, _to_gray_u8
+    from bbocr_tpu.runtime.rectify import quad_to_rect_homography, warp_crops
+
+    results = engine.readtext(img)
+    stats["crops_seen"] += len(results)
+    g = _to_gray_u8(img)
+    canvas = bucketing.pick_canvas(g.shape[0], g.shape[1], engine.config.canvases)
+    scale, oh, ow = bucketing.letterbox_params(g.shape[0], g.shape[1], canvas)
+    batch = np.zeros((1, canvas.height, canvas.width), np.uint8)
+    batch[0, :oh, :ow] = _host_resize(g, oh, ow)
+    dev = jnp.asarray(batch).astype(jnp.float32)
+    for k, (quad, text, conf) in enumerate(results):
+        label, cer = best_span_label(text, phrases, max_cer=max_cer)
+        if label is None:
+            continue
+        q = np.asarray(quad, np.float32) * scale
+        true_w, bucket_w = bucketing.crop_width_for_quad(
+            q, engine.config.width_buckets
+        )
+        homo = quad_to_rect_homography(q, true_w)
+        crop = np.asarray(
+            warp_crops(
+                dev,
+                jnp.asarray(homo[None]),
+                jnp.zeros(1, jnp.int32),
+                jnp.asarray([true_w]),
+                bucket_w,
+            )
+        )[0, :, :true_w]
+        name = f"{tag}_{k:02d}.png"
+        cv2.imwrite(
+            os.path.join(out_dir, name), np.clip(crop, 0, 255).astype(np.uint8)
+        )
+        labels[name] = {
+            "label": label,
+            "decode": text,
+            "align_cer": round(cer, 3),
+            "conf": round(float(conf), 3),
+        }
+        stats["crops_kept"] += 1
+
+
 def harvest(
     craft: str,
     crnn: str,
@@ -79,11 +138,8 @@ def harvest(
     data_dir: str = "data/real",
 ) -> dict:
     import cv2
-    import jax.numpy as jnp
 
-    from bbocr_tpu.runtime import bucketing
-    from bbocr_tpu.runtime.engine import OCREngine, _host_resize, _to_gray_u8
-    from bbocr_tpu.runtime.rectify import quad_to_rect_homography, warp_crops
+    from bbocr_tpu.runtime.engine import OCREngine
 
     engine = OCREngine.from_checkpoint(craft, crnn)
     gt = json.load(open(os.path.join(data_dir, "ground_truth.json")))["books"]
@@ -114,46 +170,8 @@ def harvest(
                 continue
             if sideways:
                 img = np.rot90(img, -1).copy()
-            results = engine.readtext(img)
-            stats["crops_seen"] += len(results)
-            # re-warp each quad exactly as recognize saw it
-            g = _to_gray_u8(img)
-            canvas = bucketing.pick_canvas(g.shape[0], g.shape[1], engine.config.canvases)
-            scale, oh, ow = bucketing.letterbox_params(g.shape[0], g.shape[1], canvas)
-            batch = np.zeros((1, canvas.height, canvas.width), np.uint8)
-            batch[0, :oh, :ow] = _host_resize(g, oh, ow)
-            dev = jnp.asarray(batch).astype(jnp.float32)
             tag = f"{book_id.replace('/', '_')}_{os.path.splitext(img_name)[0]}"
-            for k, (quad, text, conf) in enumerate(results):
-                label, cer = best_span_label(text, phrases, max_cer=max_cer)
-                if label is None:
-                    continue
-                q = np.asarray(quad, np.float32) * scale
-                true_w, bucket_w = bucketing.crop_width_for_quad(
-                    q, engine.config.width_buckets
-                )
-                homo = quad_to_rect_homography(q, true_w)
-                crop = np.asarray(
-                    warp_crops(
-                        dev,
-                        jnp.asarray(homo[None]),
-                        jnp.zeros(1, jnp.int32),
-                        jnp.asarray([true_w]),
-                        bucket_w,
-                    )
-                )[0, :, :true_w]
-                name = f"{tag}_{k:02d}.png"
-                cv2.imwrite(
-                    os.path.join(out_dir, name),
-                    np.clip(crop, 0, 255).astype(np.uint8),
-                )
-                labels[name] = {
-                    "label": label,
-                    "decode": text,
-                    "align_cer": round(cer, 3),
-                    "conf": round(float(conf), 3),
-                }
-                stats["crops_kept"] += 1
+            harvest_image(engine, img, phrases, tag, out_dir, labels, stats, max_cer)
     with open(os.path.join(out_dir, "labels.json"), "w") as f:
         json.dump(labels, f, indent=1, ensure_ascii=False)
     return stats

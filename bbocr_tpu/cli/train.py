@@ -29,9 +29,12 @@ _STOP_REQUESTED = threading.Event()
 
 
 def _install_sigterm_handler() -> None:
+    owner_pid = os.getpid()
+
     def _handler(signum, frame):
         _STOP_REQUESTED.set()
-        print("SIGTERM: finishing current step, saving, exiting", flush=True)
+        if os.getpid() == owner_pid:  # forked data workers stay silent
+            print("SIGTERM: finishing current step, saving, exiting", flush=True)
 
     try:
         signal.signal(signal.SIGTERM, _handler)
@@ -219,6 +222,27 @@ def _load_real_val(dir_path: str, max_width: int):
     return out, refs
 
 
+def _load_pipeline_crops(dir_path: str):
+    """Load pipeline-consistent crops (cli/make_pipeline_crops.py) as
+    [(u8 (32, w) array, label str)]. Loaded in the parent BEFORE the
+    prefetch fork so workers share the pages via fork COW."""
+    import json as _json
+
+    from PIL import Image
+
+    with open(os.path.join(dir_path, "labels.json")) as f:
+        meta = _json.load(f)
+    out = []
+    for name in sorted(meta):
+        img = Image.open(os.path.join(dir_path, name)).convert("L")
+        if img.height != 32:
+            img = img.resize((max(8, round(img.width * 32 / img.height)), 32), Image.BILINEAR)
+        entry = meta[name]
+        label = entry["label"] if isinstance(entry, dict) else str(entry)
+        out.append((np.asarray(img, np.uint8), label))
+    return out
+
+
 def train_crnn(args) -> None:
     import jax
     import jax.numpy as jnp
@@ -258,10 +282,47 @@ def train_crnn(args) -> None:
 
     widths = [int(w) for w in str(args.width).split(",")]
 
+    pipe_data, pipe_frac = None, 0.0
+    if getattr(args, "pipeline_crops", None):
+        spec = str(args.pipeline_crops).split(":")
+        try:
+            pipe_data = _load_pipeline_crops(spec[0])
+            pipe_frac = float(spec[1]) if len(spec) > 1 else 0.25
+        except (OSError, ValueError, KeyError) as e:
+            print(f"pipeline-crops disabled ({args.pipeline_crops}: {e})", flush=True)
+        else:
+            print(f"pipeline crops: {len(pipe_data)} from {spec[0]} "
+                  f"at frac {pipe_frac}", flush=True)
+            if not pipe_data:
+                pipe_data = None
+
     def make_batch(seed):
         gen = TextLineGenerator(cfg, seed=seed)
         width = widths[seed % len(widths)]
         crops, labels, label_lens, frame_lens = gen.batch(args.batch, width=width)
+        if pipe_data is not None and pipe_frac > 0:
+            # Mix in crops that went through the REAL serving pipeline
+            # (letterbox -> detect -> CC quads -> rectify): quad growth and
+            # warp resampling shift the distribution vs generator renders.
+            rng = np.random.default_rng(seed ^ 0x5EED)
+            max_chars = max(1, min(cfg.max_label_len, (width // 4 - 2) // 2))
+            n_mix = int(args.batch * pipe_frac)
+            rows = rng.choice(args.batch, size=n_mix, replace=False)
+            for row in rows:
+                for _ in range(8):  # find a crop that fits this width bucket
+                    img, label = pipe_data[int(rng.integers(len(pipe_data)))]
+                    enc = cfg.charset.encode(label)
+                    if img.shape[1] <= width and 0 < len(enc) <= max_chars:
+                        break
+                else:
+                    continue
+                w_img = img.shape[1]
+                crops[row] = 0.0
+                crops[row][:, :w_img] = img.astype(np.float32)
+                crops[row][:, w_img:] = crops[row][:, w_img - 1 : w_img]
+                labels[row] = 0
+                labels[row][: len(enc)] = enc
+                label_lens[row] = len(enc)
         # u8 on the wire: step rate is upload-bandwidth-bound on relayed
         # TPU links; crnn_loss widens on device.
         return crops.astype(np.uint8), labels, label_lens, frame_lens
@@ -562,6 +623,9 @@ def main():
     p.add_argument("--vlm-target", choices=["json", "text"], default="json",
                    help="vlm training target: json = metadata (end task), "
                         "text = literal page transcription (reading curriculum)")
+    p.add_argument("--pipeline-crops", type=str, default=None,
+                   help="DIR[:frac] of pipeline-consistent crops "
+                        "(cli/make_pipeline_crops) to mix into crnn batches")
     p.add_argument("--val-real", type=str, default=None,
                    help="dir of harvested real crops (cli/harvest_real_crops)"
                         " to report real_cer on during crnn training")

@@ -851,6 +851,9 @@ class PageGenerator:
         draw = ImageDraw.Draw(pil_page)
         page_dirty = False
         giant_cut = int(56 * s)
+        # Drawn line texts, exposed for pipeline-consistent crop harvesting
+        # (cli/make_pipeline_crops.py): the page's GT "phrases".
+        self.last_texts: List[str] = []
         for size in sizes:
             if size >= giant_cut:
                 # giant titles are short: a year or one display word
@@ -924,6 +927,7 @@ class PageGenerator:
                 draw.text((x, y), text, fill=fill, font=font,
                           stroke_width=stroke_w, stroke_fill=stroke_fill)
             page_dirty = True
+            self.last_texts.append(text)
             # char-level gaussians: exact centers when letterspaced,
             # even-split approximation otherwise
             n_chars = max(len(text), 1)
