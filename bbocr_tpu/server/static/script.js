@@ -288,6 +288,20 @@ function renderMetadata(meta) {
     tr.append(k, v);
     table.appendChild(tr);
   }
+  const usage = meta._processing_info && meta._processing_info.llm_usage;
+  if (usage) {
+    // per-request cloud cost (reference: gradio_GPT/app.py:139-143)
+    const tr = document.createElement("tr");
+    const k = document.createElement("td");
+    k.textContent = "llm cost";
+    k.style.opacity = "0.6";
+    const v = document.createElement("td");
+    v.style.opacity = "0.6";
+    const dollars = usage.cost_usd != null ? ` · $${usage.cost_usd}` : "";
+    v.textContent = `${usage.prompt_tokens ?? "?"} in / ${usage.completion_tokens ?? "?"} out tokens${dollars}`;
+    tr.append(k, v);
+    table.appendChild(tr);
+  }
   $("btn-accept").disabled = false;
   $("btn-reject").disabled = false;
 }
