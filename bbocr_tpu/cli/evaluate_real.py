@@ -232,9 +232,19 @@ def evaluate_real(
             row["easyocr_seconds"] = easy[ref_key].get("easyocr_seconds")
         per_book.append(row)
 
+    ecfg = engine.config
     summary: Dict[str, Any] = {
         "books": len(per_book),
         "total_seconds": round(time.time() - t0, 2),
+        # self-describing A/B artifact: the serving knobs this run used
+        "engine_config": {
+            "wire_bits": ecfg.wire_bits,
+            "host_rectify": ecfg.host_rectify,
+            "detect_coarse": ecfg.detect_coarse,
+            "decoder": ecfg.decoder,
+            "detect_pool": ecfg.detect_pool,
+            "detail_scale": os.environ.get("BB_OCR_DETAIL_SCALE"),
+        },
         "details": per_book,
     }
     recs = [b["tpu_word_recall"]["recall"] for b in per_book
