@@ -214,6 +214,30 @@ class TestEngine:
                 assert box.shape == (4, 2)
                 assert isinstance(text, str)
 
+    def test_knob_combo_wire_hostrectify_coarse(self):
+        """The relay operating point (WIRE_BITS=4 + HOST_RECTIFY + coarse)
+        must compose: packed canvas upload, host cv2 rectification from
+        original pixels, and the added pooled detect pass."""
+        from bbocr_tpu.runtime import EngineConfig, OCREngine
+        from bbocr_tpu.runtime.bucketing import CanvasSpec
+
+        cfg = EngineConfig(
+            canvases=(CanvasSpec(128, 96),),
+            width_buckets=(32, 64),
+            batch_capacities=(4, 8),
+            compute_dtype=jnp.float32,
+            detect_coarse=2,
+            wire_bits=4,
+            host_rectify=True,
+        )
+        engine = OCREngine.create(seed=0, config=cfg)
+        img = np.random.default_rng(3).integers(0, 255, (180, 140), np.uint8)
+        results = engine.readtext_batch([img, img])
+        assert len(results) == 2
+        for res in results:
+            for box, text, conf in res:
+                assert box.shape == (4, 2) and isinstance(text, str)
+
     def test_merge_coarse_quads_rules(self):
         from bbocr_tpu.decode.boxes import merge_coarse_quads
 
