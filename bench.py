@@ -146,7 +146,15 @@ def main():
     p50 = float(np.median(lat)) * 1000.0
     p90 = float(np.percentile(lat, 90)) * 1000.0
 
+    ecfg = engine.config
     side = {
+        "engine_config": {
+            "wire_bits": ecfg.wire_bits,
+            "host_rectify": ecfg.host_rectify,
+            "detect_coarse": ecfg.detect_coarse,
+            "decoder": ecfg.decoder,
+            "detail_scale": os.environ.get("BB_OCR_DETAIL_SCALE"),
+        },
         "photos": done,
         "elapsed_s": round(elapsed, 2),
         "crops_total": n_crops,
