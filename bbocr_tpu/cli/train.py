@@ -32,9 +32,12 @@ def _install_sigterm_handler() -> None:
     owner_pid = os.getpid()
 
     def _handler(signum, frame):
+        if os.getpid() != owner_pid:
+            # forked data worker: terminate() means die NOW, not "finish
+            # the step" — the inherited handler must not swallow it
+            os._exit(0)
         _STOP_REQUESTED.set()
-        if os.getpid() == owner_pid:  # forked data workers stay silent
-            print("SIGTERM: finishing current step, saving, exiting", flush=True)
+        print("SIGTERM: finishing current step, saving, exiting", flush=True)
 
     try:
         signal.signal(signal.SIGTERM, _handler)
@@ -100,16 +103,17 @@ def _prefetch(make_batch, n_threads: int = 4, depth: int = 8):
 
         class _Stop:
             def set(self):
-                # Workers may be blocked in mq.put: drain so terminate()
-                # doesn't strand the parent's queue feeder lock, then tell
-                # the feeder not to block interpreter exit.
-                try:
-                    while True:
-                        mq.get_nowait()
-                except Exception:
-                    pass
+                # Do NOT read mq here: a worker killed mid-put leaves a
+                # truncated frame in the pipe, and any subsequent get()
+                # blocks forever in recv (observed as a post-save hang).
+                # The parent is about to force-exit (main() ends with
+                # os._exit), so just SIGKILL the workers — bypassing the
+                # SIGTERM handler — and never touch the queue again.
                 for p in procs:
-                    p.terminate()
+                    try:
+                        p.kill()
+                    except Exception:
+                        pass
                 try:
                     mq.cancel_join_thread()
                 except Exception:
@@ -645,6 +649,15 @@ def main():
         train_vlm(args)
     else:
         train_craft(args)
+    # Force a clean exit: terminated data workers can leave the mp.Queue
+    # feeder wedged and the interpreter hanging AFTER all work is done and
+    # saved (observed: a finished 1-step run alive 40+ min). A hung-at-exit
+    # trainer burns the driver's whole timeout budget per chain step.
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 if __name__ == "__main__":
