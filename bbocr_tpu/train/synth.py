@@ -375,11 +375,32 @@ class TextLineGenerator:
         # frames (worst case needs ~2 frames per char: char + separator).
         frames = width // 4 - 1
         max_chars = max(1, min(cfg.max_label_len, (frames - 1) // 2))
-        text = "".join(c for c in text if c in cfg.charset.chars)[:max_chars]
+        # strip() after the cap: truncation can leave a trailing space the
+        # crop has no ink evidence for (label chars must all be visible).
+        text = "".join(c for c in text if c in cfg.charset.chars)[:max_chars].strip()
         if not text:
-            text = self.rng.choice(_WORDS)
+            text = self.rng.choice(_WORDS)[:max_chars]
         size = self.rng.randint(18, 30)
         font = self._font(size, text)
+        tracking = 0
+        if self.rng.random() < 0.3 * cfg.style_aug:
+            # Letterspaced display caps: real covers track up to ~0.8em
+            # ("S H A C K L E T O N ' S" — data/real/covers/book4). The
+            # round-2 cap of size/3 never showed the recognizer the wide
+            # end, and those lines were its worst misses.
+            hi = max(3, int(size * (0.8 if self.rng.random() < 0.3 else 0.35)))
+            tracking = self.rng.randint(2, hi)
+        # Size the render canvas to the MEASURED text (clip-poison fix): the
+        # ink crop is resized into the final (height, width) window anyway,
+        # so a wide canvas costs nothing — but the old fixed width*2 canvas
+        # clipped tail glyphs of tracked/narrow-target lines while the label
+        # kept them: invisible-label-char poison, the same class as the
+        # round-3 textbbox/woff poisons (w=64 audit: 'GLUDAI[C]', 'Brown[ &]').
+        _meas = ImageDraw.Draw(Image.new("L", (4, 4)))
+        char_widths = [_meas.textbbox((0, 0), ch, font=font)[2] for ch in text]
+        _full_w = _meas.textbbox((0, 0), text, font=font)[2]
+        _needed = max(_full_w, sum(char_widths) + tracking * max(0, len(text) - 1))
+        canvas_w = max(width * 2, int(_needed) + 2 * (size // 7) + 24)
         bg = self.rng.randint(170, 255)
         fg = self.rng.randint(0, 90)
         if self.rng.random() < cfg.invert_prob:
@@ -398,7 +419,7 @@ class TextLineGenerator:
             # rectified-crop view of data/real/covers)
             from bbocr_tpu.train.photo_aug import cover_background
 
-            art = cover_background(self.rng, cfg.height * 2, width * 2)
+            art = cover_background(self.rng, cfg.height * 2, canvas_w)
             img = Image.fromarray(art.astype(np.uint8))
             m = float(art.mean())
             if m < 110:
@@ -409,7 +430,7 @@ class TextLineGenerator:
                 fg = self.rng.randint(0, 60)
             bg = int(m)
         else:
-            img = Image.new("L", (width * 2, cfg.height * 2), bg)
+            img = Image.new("L", (canvas_w, cfg.height * 2), bg)
         draw = ImageDraw.Draw(img)
         x0 = self.rng.randint(0, 6)
         y0 = self.rng.randint(0, max(1, cfg.height * 2 - size - 8))
@@ -436,14 +457,6 @@ class TextLineGenerator:
             sdx = self.rng.randint(1, max(2, size // 7))
             sdy = self.rng.randint(1, max(2, size // 7))
             shadow = ((sdx, sdy), (fg + bg) // 2 + self.rng.randint(-20, 20))
-        tracking = 0
-        if self.rng.random() < 0.3 * cfg.style_aug:
-            # Letterspaced display caps: real covers track up to ~0.8em
-            # ("S H A C K L E T O N ' S" — data/real/covers/book4). The
-            # round-2 cap of size/3 never showed the recognizer the wide
-            # end, and those lines were its worst misses.
-            hi = max(3, int(size * (0.8 if self.rng.random() < 0.3 else 0.35)))
-            tracking = self.rng.randint(2, hi)
         # Arched baseline: cover titles bow along a curve ("HARRY POTTER",
         # "MOORCOCK" — data/real/covers/book1/book6); the rectified quad
         # keeps the bow, so the recognizer sees chars riding a parabola.
@@ -458,7 +471,7 @@ class TextLineGenerator:
         if tracking or arc:
             x = x0
             jitter = max(1, size // 10) if self.rng.random() < 0.35 * cfg.style_aug else 0
-            widths = [draw.textbbox((0, 0), ch, font=font)[2] for ch in text]
+            widths = char_widths
             total = sum(widths) + tracking * max(0, len(text) - 1)
             for i, ch in enumerate(text):
                 dy = self.rng.randint(-jitter, jitter) if jitter else 0
@@ -507,6 +520,12 @@ class TextLineGenerator:
                 ys = np.asarray([0, img.height - 1]); xs = np.asarray([0, img.width - 1])
         left, top = int(xs.min()), int(ys.min())
         right, bottom = int(xs.max()) + 1, int(ys.max()) + 1
+        self._last_render = {"canvas_w": int(img.width), "ink_right": right}
+        if right >= img.width and _retry < 2:
+            # Ink touches the canvas edge: a glyph clipped despite the
+            # measured canvas (exotic metrics). The label would then cite
+            # invisible chars — re-render rather than emit poison.
+            return self.render(text=text, width=width, _retry=_retry + 1)
         if self.rng.random() < 0.12 * cfg.style_aug:
             # gradient ink: metallic/foil display type fades across the line
             # (covers set titles in gold foil whose luminance ramps 2x within

@@ -123,6 +123,21 @@ class TestSynth:
         assert maps.shape == (2, 64, 48, 2)
         assert maps.max() <= 1.0 and maps.max() > 0.3  # gaussians present
 
+    def test_no_label_chars_clipped_at_canvas_edge(self):
+        """Clip-poison regression: the render canvas must be sized to the
+        MEASURED text. The old fixed width*2 canvas clipped tail glyphs of
+        tracked/narrow-target lines while the label kept them ('GLUDAI[C]',
+        'Brown[ &]' at width=64) — invisible-label-char poison. Ink must
+        end strictly inside the canvas, and labels carry no edge spaces."""
+        from bbocr_tpu.train.synth import SynthConfig, TextLineGenerator
+
+        gen = TextLineGenerator(SynthConfig(), seed=977)
+        for _ in range(120):
+            _, text = gen.render(width=64)
+            assert text == text.strip()
+            info = gen._last_render
+            assert info["ink_right"] < info["canvas_w"], (text, info)
+
     def test_furniture_and_bleed_keep_labels_honest(self):
         """Cover furniture (flanking rules) and neighbor bleed add UNLABELED
         ink to the crop; the label must still be the rendered text and the
