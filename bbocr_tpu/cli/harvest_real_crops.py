@@ -52,12 +52,28 @@ def best_span_label(
 
     Returns (span with original casing, span CER) or (None, best_cer).
     """
+    span, cer, _ = best_span_with_margin(crop_text, phrases)
+    return (span, cer) if span is not None and cer <= max_cer else (None, cer)
+
+
+def best_span_with_margin(
+    crop_text: str, phrases: List[str]
+) -> Tuple[Optional[str], float, float]:
+    """Like best_span_label, plus the cross-phrase ambiguity margin.
+
+    Returns (best span, its CER, runner_cer) where runner_cer is the best
+    CER any OTHER phrase achieves. A large (runner_cer - cer) means the
+    decode identifies its source line even when the decode itself is bad —
+    which lets a synthetic-page harvest keep the HARD crops (decode CER
+    0.3-0.6) that a flat CER gate throws away, exactly the regime the
+    recognizer most needs to train on."""
     c = _norm(crop_text)
     if len(c) < 3:
-        return None, 1.0
-    best: Tuple[Optional[str], float] = (None, 1.0)
+        return None, 1.0, 1.0
+    per_phrase: List[Tuple[float, Optional[str]]] = []
     for ph in phrases:
         words = ph.split()
+        best_ph: Tuple[float, Optional[str]] = (1.0, None)
         for i in range(len(words)):
             for j in range(i + 1, len(words) + 1):
                 span = " ".join(words[i:j])
@@ -65,9 +81,15 @@ def best_span_label(
                 if len(n) < 3:
                     continue
                 cer = _lev(n, c) / max(1, len(n))
-                if cer < best[1]:
-                    best = (span, cer)
-    return (best[0], best[1]) if best[1] <= max_cer else (None, best[1])
+                if cer < best_ph[0]:
+                    best_ph = (cer, span)
+        per_phrase.append(best_ph)
+    if not per_phrase:
+        return None, 1.0, 1.0
+    order = sorted(range(len(per_phrase)), key=lambda k: per_phrase[k][0])
+    cer, span = per_phrase[order[0]]
+    runner = per_phrase[order[1]][0] if len(order) > 1 else 1.0
+    return span, cer, runner
 
 
 def harvest_image(
@@ -79,10 +101,17 @@ def harvest_image(
     labels: dict,
     stats: dict,
     max_cer: float = 0.45,
+    margin_accept: Optional[Tuple[float, float]] = None,
 ) -> None:
     """Run the serving engine on one image, re-warp every detected quad
     exactly as recognize saw it, and keep crops whose decode aligns to a
-    GT phrase span. Appends to ``labels``/``stats`` and writes PNGs."""
+    GT phrase span. Appends to ``labels``/``stats`` and writes PNGs.
+
+    ``margin_accept=(loose_cer, min_margin)`` additionally keeps crops whose
+    best alignment is worse than ``max_cer`` but still UNAMBIGUOUS: CER <=
+    loose_cer and the runner-up phrase is at least ``min_margin`` worse.
+    Use only where the phrase list is per-page (synthetic harvests) — with
+    few candidate lines, a unique weak match still identifies its source."""
     import cv2
     import jax.numpy as jnp
 
@@ -99,9 +128,15 @@ def harvest_image(
     batch[0, :oh, :ow] = _host_resize(g, oh, ow)
     dev = jnp.asarray(batch).astype(jnp.float32)
     for k, (quad, text, conf) in enumerate(results):
-        label, cer = best_span_label(text, phrases, max_cer=max_cer)
+        label, cer, runner = best_span_with_margin(text, phrases)
         if label is None:
             continue
+        if cer > max_cer:
+            if margin_accept is None:
+                continue
+            loose_cer, min_margin = margin_accept
+            if cer > loose_cer or (runner - cer) < min_margin:
+                continue
         q = np.asarray(quad, np.float32) * scale
         true_w, bucket_w = bucketing.crop_width_for_quad(
             q, engine.config.width_buckets
@@ -124,6 +159,7 @@ def harvest_image(
             "label": label,
             "decode": text,
             "align_cer": round(cer, 3),
+            "align_margin": round(runner - cer, 3),
             "conf": round(float(conf), 3),
         }
         stats["crops_kept"] += 1

@@ -61,6 +61,11 @@ def main() -> None:
         harvest_image(
             engine, page.astype(np.uint8), phrases, f"page{i:05d}",
             args.out, labels, stats, max_cer=args.max_cer,
+            # Per-page phrase lists are small, so a unique weak match still
+            # identifies its line: keep hard crops (decode CER up to 0.6)
+            # when the runner-up phrase is >=0.25 worse. These are the warp/
+            # quad-artifact examples the recognizer most needs.
+            margin_accept=(0.6, 0.25),
         )
         if (i + 1) % 50 == 0:
             print(f"{i + 1}/{args.pages} pages, kept {stats['crops_kept']}", flush=True)

@@ -25,6 +25,25 @@ class TestSpanAlignment:
         assert best_span_label("i", ["HARRY"])[0] is None
         assert best_span_label("", ["HARRY"])[0] is None
 
+    def test_margin_identifies_hard_but_unambiguous_decodes(self):
+        """A decode too mangled for the flat CER gate still identifies its
+        source line when every other phrase matches far worse — the margin
+        lets synthetic harvests keep exactly these hard crops."""
+        from bbocr_tpu.cli.harvest_real_crops import best_span_with_margin
+
+        span, cer, runner = best_span_with_margin(
+            "SHACMIEIONS", ["SHACKLETON'S", "1853-698-80217", "SAID PRESS"]
+        )
+        assert span == "SHACKLETON'S"
+        assert cer > 0.3  # the flat gate would drop it
+        assert runner - cer > 0.25  # but it is unambiguous
+
+        # ambiguous junk: margin stays small, so margin-accept still rejects
+        _, cer2, runner2 = best_span_with_margin(
+            "AEIEIEA", ["SHACKLETON'S", "SAID PRESS"]
+        )
+        assert (runner2 - cer2) < 0.25 or cer2 > 0.6
+
     def test_span_is_contiguous_words_with_original_casing(self):
         from bbocr_tpu.cli.harvest_real_crops import best_span_label
 
