@@ -375,6 +375,7 @@ def train_crnn(args) -> None:
 
     t0 = time.time()
     losses = []  # device arrays; only synced at log points
+    best_real_cer = [float("inf")]
     for step in range(start_step + 1, args.steps + 1):
         crops, labels, label_lens, frame_lens = q.get()
         params, opt_state, loss = step_fn(
@@ -398,7 +399,23 @@ def train_crnn(args) -> None:
                     cfg.charset.decode_ids(rids[i][: rlens[i]])
                     for i in range(len(real_refs))
                 ]
-                real_part = f"real_cer {corpus_cer(real_refs, rhyps):.4f} "
+                real_cer = corpus_cer(real_refs, rhyps)
+                real_part = f"real_cer {real_cer:.4f} "
+                # Track the real-CER optimum separately: r3d showed the
+                # synthetic and real curves DIVERGE (synthetic val improved
+                # while covers regressed 10x), so the last checkpoint is not
+                # necessarily the shippable one.
+                if real_cer < best_real_cer[0]:
+                    best_real_cer[0] = real_cer
+                    os.makedirs(args.out, exist_ok=True)
+                    save_params(
+                        os.path.join(args.out, "crnn_best_real.npz"),
+                        jax.device_get(params),
+                    )
+                    with open(os.path.join(args.out, "best_real.json"), "w") as f:
+                        import json as _json
+
+                        _json.dump({"step": step, "real_cer": round(real_cer, 5)}, f)
             rate = (step - start_step) * args.batch / (time.time() - t0)
             print(
                 f"step {step:6d} loss {mean_loss:8.4f} "
