@@ -396,10 +396,30 @@ class TextLineGenerator:
         # clipped tail glyphs of tracked/narrow-target lines while the label
         # kept them: invisible-label-char poison, the same class as the
         # round-3 textbbox/woff poisons (w=64 audit: 'GLUDAI[C]', 'Brown[ &]').
+        # Arched baseline: cover titles bow along a curve ("HARRY POTTER",
+        # "MOORCOCK" — data/real/covers/book1/book6); the rectified quad
+        # keeps the bow, so the recognizer sees chars riding a parabola.
+        # Sampled HERE because the arc branch lays out per-char (its width
+        # is the per-char sum, not the kerned full-text advance), which the
+        # canvas sizing below must account for.
+        arc = 0.0
+        if self.rng.random() < 0.12 * cfg.style_aug and len(text) >= 4:
+            arc = size * self.rng.uniform(0.12, 0.4) * self.rng.choice([-1.0, 1.0])
         _meas = ImageDraw.Draw(Image.new("L", (4, 4)))
-        char_widths = [_meas.textbbox((0, 0), ch, font=font)[2] for ch in text]
         _full_w = _meas.textbbox((0, 0), text, font=font)[2]
-        _needed = max(_full_w, sum(char_widths) + tracking * max(0, len(text) - 1))
+        # per-char widths only when the per-char layout needs them (the
+        # data path is GIL-bound on 1-core serving hosts; ~len(text) extra
+        # textbbox calls per crop are measurable at training rates)
+        char_widths = (
+            [_meas.textbbox((0, 0), ch, font=font)[2] for ch in text]
+            if tracking or arc
+            else None
+        )
+        _needed = (
+            max(_full_w, sum(char_widths) + tracking * max(0, len(text) - 1))
+            if char_widths is not None
+            else _full_w
+        )
         canvas_w = max(width * 2, int(_needed) + 2 * (size // 7) + 24)
         bg = self.rng.randint(170, 255)
         fg = self.rng.randint(0, 90)
@@ -457,21 +477,20 @@ class TextLineGenerator:
             sdx = self.rng.randint(1, max(2, size // 7))
             sdy = self.rng.randint(1, max(2, size // 7))
             shadow = ((sdx, sdy), (fg + bg) // 2 + self.rng.randint(-20, 20))
-        # Arched baseline: cover titles bow along a curve ("HARRY POTTER",
-        # "MOORCOCK" — data/real/covers/book1/book6); the rectified quad
-        # keeps the bow, so the recognizer sees chars riding a parabola.
-        arc = 0.0
-        if self.rng.random() < 0.12 * cfg.style_aug and len(text) >= 4:
-            arc = size * self.rng.uniform(0.12, 0.4) * self.rng.choice([-1.0, 1.0])
-            if arc > 0:  # upward bow: keep mid chars inside the canvas
-                y0 = max(y0, int(arc) + 1)
-            else:  # downward bow
-                y0 = min(y0, max(0, img.height - size - int(-arc) - 2))
+        # (arc was sampled before canvas sizing; clamp y0 for the bow here)
+        if arc > 0:  # upward bow: keep mid chars inside the canvas
+            y0 = max(y0, int(arc) + 1)
+        elif arc < 0:  # downward bow
+            y0 = min(y0, max(0, img.height - size - int(-arc) - 2))
         pre_draw = np.asarray(img, np.int16).copy()
         if tracking or arc:
             x = x0
             jitter = max(1, size // 10) if self.rng.random() < 0.35 * cfg.style_aug else 0
-            widths = char_widths
+            widths = (
+                char_widths
+                if char_widths is not None
+                else [draw.textbbox((0, 0), ch, font=font)[2] for ch in text]
+            )
             total = sum(widths) + tracking * max(0, len(text) - 1)
             for i, ch in enumerate(text):
                 dy = self.rng.randint(-jitter, jitter) if jitter else 0
