@@ -172,6 +172,7 @@ def harvest(
     books_filter: str = "",
     max_cer: float = 0.45,
     data_dir: str = "data/real",
+    margin_accept: Optional[Tuple[float, float]] = None,
 ) -> dict:
     import cv2
 
@@ -207,7 +208,10 @@ def harvest(
             if sideways:
                 img = np.rot90(img, -1).copy()
             tag = f"{book_id.replace('/', '_')}_{os.path.splitext(img_name)[0]}"
-            harvest_image(engine, img, phrases, tag, out_dir, labels, stats, max_cer)
+            harvest_image(
+                engine, img, phrases, tag, out_dir, labels, stats, max_cer,
+                margin_accept=margin_accept,
+            )
     with open(os.path.join(out_dir, "labels.json"), "w") as f:
         json.dump(labels, f, indent=1, ensure_ascii=False)
     return stats
@@ -221,13 +225,23 @@ def main() -> None:
     p.add_argument("--books", default="", help="substring filter on book id")
     p.add_argument("--max-cer", type=float, default=0.45)
     p.add_argument("--data-dir", default="data/real")
+    p.add_argument(
+        "--margin", default="",
+        help="'loose_cer,min_margin' — additionally keep hard decodes whose "
+             "best phrase beats the runner-up by min_margin (see "
+             "harvest_image.margin_accept)")
     args = p.parse_args()
     from bbocr_tpu.utils.env import sync_platform_from_env
 
     sync_platform_from_env()
+    margin = None
+    if args.margin:
+        loose, min_m = (float(x) for x in args.margin.split(","))
+        margin = (loose, min_m)
     stats = harvest(
         args.craft, args.crnn, args.out,
         books_filter=args.books, max_cer=args.max_cer, data_dir=args.data_dir,
+        margin_accept=margin,
     )
     print(json.dumps(stats))
 
