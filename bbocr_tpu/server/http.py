@@ -195,6 +195,10 @@ class App:
     def __init__(self):
         self._routes: Dict[Tuple[str, str], Handler] = {}
         self._static: List[Tuple[str, str, Optional[Dict[str, Tuple[str, str]]]]] = []
+        # Live per-connection tasks, so a shutdown can cancel them instead of
+        # leaving them to be destroyed with the loop (long-lived SSE streams
+        # outlive their request otherwise).
+        self._conn_tasks: set = set()
 
     def route(self, path: str, methods: Tuple[str, ...] = ("GET",)):
         def deco(fn: Handler) -> Handler:
@@ -239,6 +243,10 @@ class App:
     # ------------------------------------------------------------------
 
     async def _handle_conn(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
+        task = asyncio.current_task()
+        if task is not None:
+            self._conn_tasks.add(task)
+            task.add_done_callback(self._conn_tasks.discard)
         try:
             req = await self._read_request(reader)
             if req is None:
@@ -322,6 +330,15 @@ class App:
         print(f"bbocr server listening on {addrs}")
         async with server:
             await server.serve_forever()
+
+    async def shutdown(self) -> None:
+        """Cancel live connection tasks (SSE streams included) and wait for
+        them to unwind — call before stopping the loop that ran :meth:`serve`."""
+        tasks = [t for t in self._conn_tasks if not t.done()]
+        for t in tasks:
+            t.cancel()
+        if tasks:
+            await asyncio.gather(*tasks, return_exceptions=True)
 
     def run(self, host: str = "127.0.0.1", port: int = 8000):
         asyncio.run(self.serve(host, port))

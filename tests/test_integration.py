@@ -105,6 +105,17 @@ def real_server(tmp_path_factory):
         except Exception:
             time.sleep(0.05)
     yield base, service
+    # drain connection tasks before stopping the loop (see tests/test_server.py)
+    done = threading.Event()
+
+    async def _shutdown():
+        try:
+            await service.app.shutdown()
+        finally:
+            done.set()
+
+    asyncio.run_coroutine_threadsafe(_shutdown(), loop)
+    done.wait(timeout=5)
     loop.call_soon_threadsafe(loop.stop)
 
 

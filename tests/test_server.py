@@ -63,6 +63,18 @@ def server(tmp_path_factory):
         except Exception:
             time.sleep(0.05)
     yield base, service
+    # drain connection tasks (lingering SSE streams) before stopping the
+    # loop, else asyncio logs "Task was destroyed but it is pending!"
+    done = threading.Event()
+
+    async def _shutdown():
+        try:
+            await service.app.shutdown()
+        finally:
+            done.set()
+
+    asyncio.run_coroutine_threadsafe(_shutdown(), loop)
+    done.wait(timeout=5)
     loop.call_soon_threadsafe(loop.stop)
 
 
