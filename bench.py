@@ -146,6 +146,22 @@ def main():
     p50 = float(np.median(lat)) * 1000.0
     p90 = float(np.percentile(lat, 90)) * 1000.0
 
+    # --- p50 single-photo latency, single-dispatch fast path ---------------
+    # readtext_fast runs detect -> on-device CC -> rectify -> recognize as
+    # ONE XLA program (one upload, one small download), so on relayed links
+    # its latency is ~one round trip instead of three. Warm pass first: the
+    # program compiles per (canvas, K, bucket) key.
+    fast_lat = []
+    if hasattr(engine, "readtext_fast"):
+        sample = raws[: min(12, len(raws))]
+        for raw in sample:
+            engine.readtext_fast(_decode(raw))
+        for raw in sample:
+            t = time.perf_counter()
+            engine.readtext_fast(_decode(raw))
+            fast_lat.append(time.perf_counter() - t)
+    p50_fast = float(np.median(fast_lat)) * 1000.0 if fast_lat else None
+
     ecfg = engine.config
     side = {
         "engine_config": {
@@ -161,6 +177,7 @@ def main():
         "crops_per_photo": round(n_crops / max(done, 1), 1),
         "p50_ms": round(p50, 1),
         "p90_ms": round(p90, 1),
+        "p50_fast_ms": round(p50_fast, 1) if p50_fast is not None else None,
         "stage_timers": engine.timings(),
     }
     print(json.dumps(side), file=sys.stderr)
