@@ -262,8 +262,8 @@ class OCREngine:
         # Wire reduction (runtime/wire.py): bit-packed canvas upload and/or
         # host-side crop rectification. host_rectify needs cv2; degrade to
         # the device warp rather than fail the engine.
-        if config.wire_bits not in (2, 4, 8):
-            raise ValueError(f"wire_bits must be 2, 4, or 8 (got {config.wire_bits})")
+        if config.wire_bits not in (1, 2, 4, 8):
+            raise ValueError(f"wire_bits must be 1, 2, 4, or 8 (got {config.wire_bits})")
         self._wire_bits = int(config.wire_bits)
         self._host_rectify = bool(config.host_rectify) and _cv2 is not None
         from bbocr_tpu.runtime.wire import unpack_widen as _unpack_widen_fn

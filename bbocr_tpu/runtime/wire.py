@@ -85,7 +85,12 @@ def pack_canvas(batch_u8: np.ndarray, bits: int) -> np.ndarray:
         return (
             (q[..., 0::4] << 6) | (q[..., 1::4] << 4) | (q[..., 2::4] << 2) | q[..., 3::4]
         ).astype(np.uint8)
-    raise ValueError(f"wire_bits must be 2, 4, or 8 (got {bits})")
+    if bits == 1:
+        out = np.zeros(q.shape[:-1] + (q.shape[-1] // 8,), np.uint8)
+        for i in range(8):
+            out |= q[..., i::8] << (7 - i)
+        return out
+    raise ValueError(f"wire_bits must be 1, 2, 4, or 8 (got {bits})")
 
 
 def unpack_widen(packed: jnp.ndarray, bits: int) -> jnp.ndarray:
@@ -106,8 +111,11 @@ def unpack_widen(packed: jnp.ndarray, bits: int) -> jnp.ndarray:
             axis=-1,
         )
         step = 255.0 / 3.0
+    elif bits == 1:
+        parts = jnp.stack([(packed >> s) & 0x1 for s in range(7, -1, -1)], axis=-1)
+        step = 255.0
     else:
-        raise ValueError(f"wire_bits must be 2, 4, or 8 (got {bits})")
+        raise ValueError(f"wire_bits must be 1, 2, 4, or 8 (got {bits})")
     return parts.reshape(n, h, wp * (8 // bits)).astype(jnp.float32) * step
 
 

@@ -557,6 +557,27 @@ class TestWire:
         assert set(np.unique(out)).issubset({0.0, 85.0, 170.0, 255.0})
         assert np.abs(out - x.astype(np.float32)).max() <= 85.0 + 1e-3
 
+    def test_pack_1bit_shape_and_mean_preservation(self):
+        from bbocr_tpu.runtime import wire
+
+        rng = np.random.default_rng(5)
+        x = np.clip(
+            np.linspace(0, 255, 64)[None, None, :] + rng.normal(0, 12, (1, 32, 64)),
+            0,
+            255,
+        ).astype(np.uint8)
+        packed = wire.pack_canvas(x, 1)
+        assert packed.shape == (1, 32, 8) and packed.dtype == np.uint8
+        out = np.asarray(wire.unpack_widen(jnp.asarray(packed), 1))
+        assert out.shape == (1, 32, 64)
+        assert set(np.unique(out)).issubset({0.0, 255.0})
+        # Binary + ordered dither: only local MEANS survive; 4x4 block
+        # averages must track the source within ~half the 16-level Bayer
+        # quantizer step.
+        err = out - x.astype(np.float32)
+        blocks = err.reshape(1, 8, 4, 16, 4).mean(axis=(2, 4))
+        assert np.abs(blocks).mean() < 16.0
+
     def test_pack_8bit_is_identity(self):
         from bbocr_tpu.runtime import wire
 
