@@ -75,13 +75,16 @@ DEFAULT_CANVASES: Tuple[CanvasSpec, ...] = (
 # BB_OCR_DETAIL_SCALE overrides (0.8 sends ~960px cover scans — 0.73x on
 # the 704 canvas, small print crushed — to the full-res 1408 canvas while
 # leaving webcam captures and 800x600 pages on the cheap canvas).
-DETAIL_SCALE = float(os.environ.get("BB_OCR_DETAIL_SCALE", "0.55"))
+def detail_scale() -> float:
+    """Read at call time (not import) so servers/tests that set
+    BB_OCR_DETAIL_SCALE after import are honored."""
+    return float(os.environ.get("BB_OCR_DETAIL_SCALE", "0.55"))
 
 
 def pick_canvas(h: int, w: int, canvases: Sequence[CanvasSpec] = DEFAULT_CANVASES) -> CanvasSpec:
     """Choose a canvas by aspect ratio AND resolution.
 
-    Among canvases that keep the letterbox scale >= DETAIL_SCALE, pick the
+    Among canvases that keep the letterbox scale >= detail_scale(), pick the
     best aspect match (ties -> smaller canvas = cheaper detect). If none is
     large enough, pick the one preserving the most detail.
     """
@@ -90,7 +93,7 @@ def pick_canvas(h: int, w: int, canvases: Sequence[CanvasSpec] = DEFAULT_CANVASE
     def fit(c: CanvasSpec) -> float:
         return min(c.height / h, c.width / w)
 
-    keep = [c for c in canvases if fit(c) >= DETAIL_SCALE]
+    keep = [c for c in canvases if fit(c) >= detail_scale()]
     if keep:
         # Aspect compared in coarse buckets (0.08-wide) so NEAR-tied
         # aspects resolve by area — otherwise a canvas tier whose ratio is

@@ -73,25 +73,35 @@ class EngineConfig:
     # Canvas upload bit depth (8, 4, or 2). Below 8, canvases ship
     # Bayer-dithered and are unpacked inside the device program — the
     # uplink is the serving binder on relayed links (runtime/wire.py).
-    wire_bits: int = int(os.environ.get("BB_OCR_WIRE_BITS", "8"))
+    # Env-backed knobs use default_factory so the environment is read when
+    # the config is CONSTRUCTED, not when this module is imported — servers
+    # and tests that set BB_OCR_* after import must not get stale defaults.
+    wire_bits: int = field(
+        default_factory=lambda: int(os.environ.get("BB_OCR_WIRE_BITS", "8"))
+    )
     # CTC decoder for the main recognize program: "greedy" (easyocr's
     # default, fastest) or "beam" (on-device prefix beam,
     # decode/beam_device.py — recovers ambiguous display type at extra
     # scan cost; confidence becomes exp(prefix log-prob)).
-    decoder: str = os.environ.get("BB_OCR_DECODER", "greedy")
+    decoder: str = field(
+        default_factory=lambda: os.environ.get("BB_OCR_DECODER", "greedy")
+    )
     # Additive coarse detect scale (0/1 = off; 2 or 4 = pool factor):
     # giant display type (cover titles, 300+px glyphs on the canvas)
     # fragments at full resolution; a second pass over the SAME device
     # canvas at 1/p resolution (1/p^2 the FLOPs, no extra upload) sees it
     # as ordinary text. Coarse quads are adopted only where the fine pass
     # has no real answer (decode/boxes.py merge_coarse_quads).
-    detect_coarse: int = int(os.environ.get("BB_OCR_DETECT_COARSE", "0"))
+    detect_coarse: int = field(
+        default_factory=lambda: int(os.environ.get("BB_OCR_DETECT_COARSE", "0"))
+    )
     # Rectify recognition crops on the HOST (cv2, from the ORIGINAL photo
     # at native detail) and upload small u8 strips, instead of device
     # gather-warps from the letterboxed canvas. Decouples recognition from
     # canvas scale/quantization; pairs with wire_bits < 8.
-    host_rectify: bool = (
-        os.environ.get("BB_OCR_HOST_RECTIFY", "0").lower() not in ("0", "", "false")
+    host_rectify: bool = field(
+        default_factory=lambda: os.environ.get("BB_OCR_HOST_RECTIFY", "0").lower()
+        not in ("0", "", "false")
     )
 
 
@@ -114,7 +124,7 @@ class OCREngine:
         self,
         craft_params: Any,
         crnn_params: Any,
-        config: EngineConfig = EngineConfig(),
+        config: EngineConfig = None,
         charset: Charset = EN_CHARSET,
         mesh: Any = None,
     ):
@@ -127,7 +137,8 @@ class OCREngine:
         from bbocr_tpu.utils.env import enable_compilation_cache
 
         enable_compilation_cache()  # one-time-per-machine compiles
-        self.config = config
+        self.config = config if config is not None else EngineConfig()
+        config = self.config
         self.charset = charset
         # Param-tree sniffing: imported published checkpoints (see
         # models.weights.import_craft_from_torch) carry the torch slice
@@ -282,8 +293,9 @@ class OCREngine:
     # ------------------------------------------------------------------
 
     @classmethod
-    def create(cls, seed: int = 0, config: EngineConfig = EngineConfig(), charset: Charset = EN_CHARSET, mesh: Any = None):
+    def create(cls, seed: int = 0, config: EngineConfig = None, charset: Charset = EN_CHARSET, mesh: Any = None):
         """Engine with freshly initialized (untrained) parameters."""
+        config = config if config is not None else EngineConfig()
         craft = CRAFT(dtype=config.compute_dtype)
         crnn = CRNN(num_classes=charset.num_classes, dtype=config.compute_dtype)
         k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
@@ -292,7 +304,7 @@ class OCREngine:
         return cls(craft_params, crnn_params, config, charset, mesh=mesh)
 
     @classmethod
-    def from_checkpoint(cls, craft_path: str, crnn_path: str, config: EngineConfig = EngineConfig(), charset: Charset = None, mesh: Any = None):
+    def from_checkpoint(cls, craft_path: str, crnn_path: str, config: EngineConfig = None, charset: Charset = None, mesh: Any = None):
         """Charset defaults to whatever the checkpoint's CTC head was
         trained with (en / latin-ext heads load interchangeably)."""
         crnn_params = load_params(crnn_path)

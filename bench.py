@@ -75,15 +75,71 @@ def _decode(raw: bytes) -> np.ndarray:
     return np.asarray(Image.open(io.BytesIO(raw)).convert("L"))
 
 
+def _backend_alive(timeout_s: int = 300) -> bool:
+    """Probe the accelerator in a SUBPROCESS (a wedged relay hangs the
+    probing process forever — round-3 outage probes sat 600s; the subprocess
+    is killable, the importing process is not)."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
+def _ensure_backend() -> str:
+    """Return the platform this bench will run on: the accelerator if it
+    answers (with retry/backoff — a transient relay blip must not zero a
+    round's perf record), else a degraded CPU fallback.
+
+    Round-3 lesson: BENCH_r03.json was rc=1 because the axon backend was
+    down and the bench just died. Degrading to CPU keeps rc=0 and records
+    an honest (clearly labeled) measurement instead of nothing.
+    """
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu":
+        return "cpu"
+    retries = int(os.environ.get("BENCH_PROBE_RETRIES", "3"))
+    wait = float(os.environ.get("BENCH_PROBE_WAIT", "120"))
+    probe_timeout = int(os.environ.get("BENCH_PROBE_TIMEOUT", "300"))
+    for attempt in range(retries):
+        if _backend_alive(probe_timeout):
+            return "device"
+        print(
+            json.dumps({"bench_probe": "backend unavailable",
+                        "attempt": attempt + 1, "of": retries}),
+            file=sys.stderr, flush=True,
+        )
+        if attempt + 1 < retries:
+            time.sleep(wait)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    return "cpu_fallback"
+
+
 def main():
+    platform = _ensure_backend()
+
     from bbocr_tpu.utils.env import sync_platform_from_env
 
     sync_platform_from_env()  # honor JAX_PLATFORMS=cpu if set
 
     from bbocr_tpu.runtime.engine import OCREngine
 
-    N_PHOTOS = int(os.environ.get("BENCH_PHOTOS", "96"))
-    BATCH = int(os.environ.get("BENCH_BATCH", "16"))
+    degraded = platform == "cpu_fallback"
+    # CPU fallback: a handful of photos on the small-canvas operating point
+    # (800x600 synthetic pages) is enough to produce a nonzero, honest
+    # number without burning an hour on one host core.
+    N_PHOTOS = int(os.environ.get("BENCH_PHOTOS", "8" if degraded else "96"))
+    BATCH = int(os.environ.get("BENCH_BATCH", "4" if degraded else "16"))
+    if degraded and "BENCH_SET" not in os.environ:
+        os.environ["BENCH_SET"] = "books"
     ckpt = os.path.join(ROOT, "checkpoints")
     engine = OCREngine.from_checkpoint(
         os.path.join(ckpt, "craft.npz"), os.path.join(ckpt, "crnn.npz")
@@ -153,7 +209,7 @@ def main():
     # program compiles per (canvas, K, bucket) key.
     fast_lat = []
     if hasattr(engine, "readtext_fast"):
-        sample = raws[: min(12, len(raws))]
+        sample = raws[: min(4 if degraded else 12, len(raws))]
         for raw in sample:
             engine.readtext_fast(_decode(raw))
         for raw in sample:
@@ -164,6 +220,8 @@ def main():
 
     ecfg = engine.config
     side = {
+        "platform": platform,
+        "bench_set": os.environ.get("BENCH_SET", "real_mix"),
         "engine_config": {
             "wire_bits": ecfg.wire_bits,
             "host_rectify": ecfg.host_rectify,
@@ -183,16 +241,22 @@ def main():
     print(json.dumps(side), file=sys.stderr)
 
     baseline = 1.0 / 3.0  # reference: ~3s/photo EasyOCR CPU (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "book_photos_per_sec_per_chip",
-                "value": round(photos_per_sec, 2),
-                "unit": "photos/sec",
-                "vs_baseline": round(photos_per_sec / baseline, 1),
-            }
+    line = {
+        "metric": "book_photos_per_sec_per_chip",
+        "value": round(photos_per_sec, 2),
+        "unit": "photos/sec",
+        "vs_baseline": round(photos_per_sec / baseline, 1),
+    }
+    if platform != "device":
+        # Honest labeling: this run never touched the chip. The metric is
+        # still the real serving path end to end, just on the host CPU.
+        line["platform"] = platform
+        line["note"] = (
+            "TPU backend unavailable after retries; measured on host CPU"
+            if platform == "cpu_fallback"
+            else "JAX_PLATFORMS=cpu requested"
         )
-    )
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

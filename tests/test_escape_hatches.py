@@ -13,6 +13,17 @@ import numpy as np
 import pytest
 
 
+def _real_tesseract_missing() -> bool:
+    """True unless BOTH pytesseract and a working tesseract binary exist."""
+    try:
+        import pytesseract
+
+        pytesseract.get_tesseract_version()
+        return False
+    except Exception:
+        return True
+
+
 @pytest.fixture
 def fake_pytesseract(monkeypatch):
     mod = types.ModuleType("pytesseract")
@@ -65,6 +76,43 @@ class TestTesseractEscapeHatch:
         img = np.full((64, 48), 230.0, np.float32)
         with pytest.raises((RuntimeError, ImportError, TypeError)):
             ex._ocr_text(img, image_index=0)
+
+    @pytest.mark.skipif(
+        _real_tesseract_missing(),
+        reason="pytesseract/tesseract binary not installed in this image — "
+        "the hatch is unverifiable here (documented in docs/PARITY.md); "
+        "this test runs wherever the real binary exists",
+    )
+    def test_real_tesseract_binary_integration(self, tmp_path):
+        """Integration against a REAL tesseract binary (reference parity:
+        ``pipeline_demo/extractor/enhanced_extractor.py:524-526`` calls
+        ``pytesseract.image_to_string(Image)``). Renders crisp black text
+        on white — the regime where tesseract is reliable — and asserts
+        the extractor's tesseract engine path reads it end to end."""
+        from PIL import Image, ImageDraw
+
+        img = Image.new("L", (640, 160), 255)
+        d = ImageDraw.Draw(img)
+        try:
+            from PIL import ImageFont
+
+            font = ImageFont.truetype(
+                "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf", 48
+            )
+        except Exception:
+            font = None
+        d.text((20, 40), "COPYRIGHT 1987", fill=0, font=font)
+        p = tmp_path / "page.png"
+        img.save(p)
+
+        ex = self._extractor()
+        text, lines, infos = ex._ocr_text(
+            np.asarray(img, np.float32), image_index=0
+        )
+        assert "1987" in text
+        meta = ex.extract_metadata_from_images([str(p)], ocr_image_indices=[0])
+        assert meta["_processing_info"]["ocr_engine"] == "tesseract"
+        assert str(meta["year"]) == "1987"
 
 
 class FakeWorksheet:
