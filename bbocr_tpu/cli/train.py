@@ -440,7 +440,7 @@ def train_craft(args) -> None:
     import jax
     import jax.numpy as jnp
 
-    from bbocr_tpu.models import CRAFT
+    from bbocr_tpu.models import CRAFT, CRAFTLite
     from bbocr_tpu.train import TrainConfig, make_optimizer
     from bbocr_tpu.train.trainer import make_craft_train_step
     from bbocr_tpu.train.synth import PageGenerator, SynthConfig
@@ -467,7 +467,7 @@ def train_craft(args) -> None:
     # fork workers BEFORE the first jax computation (see _prefetch)
     q, stop = _prefetch(make_batch, n_threads=args.data_threads)
 
-    craft = CRAFT()
+    craft = CRAFTLite() if getattr(args, "arch", "vgg") == "lite" else CRAFT()
     params = craft.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, 64, 64, 3), jnp.float32))
     if args.init_from:
         from bbocr_tpu.utils.checkpoint import load_params
@@ -479,10 +479,39 @@ def train_craft(args) -> None:
     params, opt_state, start_step = _maybe_resume(args, params, opt_state)
     step_fn = make_craft_train_step(craft, tx, neg_ratio=args.neg_ratio)
 
+    # Optional distillation: blend the GT heatmaps with a trained teacher's
+    # predictions (--distill-from, usually the big VGG CRAFT) so the lite
+    # student also learns the teacher's score SHAPES — the box extractor's
+    # thresholds were tuned on those. Teacher runs jitted per page size;
+    # maps come back u8-quantized (downlink is cheap, ~148MB/s).
+    teacher_fn = None
+    if getattr(args, "distill_from", None):
+        from bbocr_tpu.models.craft import CRAFTLite as _CL, normalize_image
+        from bbocr_tpu.utils.checkpoint import load_params as _lp
+
+        tparams = jax.tree_util.tree_map(jnp.asarray, _lp(args.distill_from))
+        ttree = tparams.get("params", {})
+        teacher = _CL() if "LiteBackbone_0" in ttree else CRAFT()
+
+        @jax.jit
+        def _teacher_maps(pages_u8):
+            x = jnp.repeat(pages_u8.astype(jnp.float32)[..., None], 3, -1) / 255.0
+            m = teacher.apply(tparams, normalize_image(x))
+            return jnp.clip(jnp.round(m * 255.0), 0, 255).astype(jnp.uint8)
+
+        teacher_fn = _teacher_maps
+        print(f"distilling from {args.distill_from} (w={args.distill_weight})", flush=True)
+
     t0 = time.time()
     losses = []
     for step in range(start_step + 1, args.steps + 1):
         pages, maps = q.get()
+        if teacher_fn is not None:
+            t = np.asarray(teacher_fn(jnp.asarray(pages)))
+            w = float(args.distill_weight)
+            maps = np.round(
+                (1.0 - w) * maps.astype(np.float32) + w * t.astype(np.float32)
+            ).astype(np.uint8)
         params, opt_state, loss = step_fn(
             params, opt_state, jnp.asarray(pages), jnp.asarray(maps)
         )
@@ -636,6 +665,15 @@ def main():
                         "cjk requires fonts with CJK coverage)")
     p.add_argument("--neg-ratio", type=float, default=3.0,
                    help="craft loss: weight on background (false-positive) MSE")
+    p.add_argument("--arch", choices=["vgg", "lite"], default="vgg",
+                   help="craft architecture: vgg = full VGG16-BN CRAFT, "
+                        "lite = CRAFTLite (~1/8 FLOPs; the serving engine "
+                        "picks the arch from the checkpoint's param tree)")
+    p.add_argument("--distill-from", type=str, default=None,
+                   help="craft: teacher checkpoint whose predicted heatmaps "
+                        "are blended into the training targets")
+    p.add_argument("--distill-weight", type=float, default=0.5,
+                   help="blend weight on the teacher's heatmaps (0..1)")
     p.add_argument("--vlm-ctc-weight", type=float, default=0.0,
                    help="weight of the encoder CTC auxiliary loss (0 = off); "
                         "grounds the encoder tokens in character identity "

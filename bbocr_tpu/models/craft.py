@@ -167,6 +167,82 @@ class CRAFT(nn.Module):
         return jax.nn.sigmoid(out) if self.final_sigmoid else out
 
 
+class LiteBackbone(nn.Module):
+    """Slim detection backbone: ~8x fewer FLOPs than VGG16BN at equal input.
+
+    Design rationale (round-3 profile: detect is 37 ms/photo at 1408x1024 on
+    chip — the ~27 photos/s ceiling; VERDICT round-3 #3 targets <=12 ms):
+    the VGG backbone spends most of its FLOPs on 64-channel full-resolution
+    convs, but CRAFT's OUTPUT is at /2 — so the stem here is a single
+    stride-2 conv and the only full-resolution op is one cheap 2->32 conv.
+    Stage widths 32/64/128/256 (vs VGG's 64/128/256/512) and two convs per
+    stage; a dilated 3x3 at /16 recovers receptive field for display type.
+    All-conv, static shapes, NHWC bf16: the whole thing is MXU work.
+    """
+
+    dtype: Any = jnp.bfloat16
+    norm: str = "group"
+    # Same folded raw-gray serving stem contract as VGG16BN.gray_input.
+    gray_input: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = lambda f: ConvBN(f, dtype=self.dtype, norm=self.norm)
+        if self.gray_input:
+            x = jnp.concatenate([x, jnp.ones_like(x)], axis=-1)
+        # stem: the ONLY full-resolution op (stride-2, tiny channel count)
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.GroupNorm(num_groups=32, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = c(32)(x, train)
+        f1 = c(32)(x, train)          # 32 @ /2
+        x = _maxpool(f1)
+        x = c(64)(x, train)
+        f2 = c(64)(x, train)          # 64 @ /4
+        x = _maxpool(f2)
+        x = c(128)(x, train)
+        f3 = c(128)(x, train)         # 128 @ /8
+        x = _maxpool(f3)
+        x = c(256)(x, train)
+        x = c(256)(x, train)
+        # dilated context: cheap at /16, widens the receptive field so
+        # 300+px display type still activates coherent regions.
+        f4 = ConvBN(256, kernel=3, dilation=6, dtype=self.dtype,
+                    norm=self.norm)(x, train)  # 256 @ /16
+        return f1, f2, f3, f4
+
+
+class CRAFTLite(nn.Module):
+    """Slim CRAFT: same contract as :class:`CRAFT` — input (B, H, W, 3)
+    ImageNet-normalized (H, W multiples of 32), output (B, H/2, W/2, 2)
+    region/affinity scores — at ~1/8 the FLOPs. Trained from scratch (or
+    distilled from the big CRAFT); selected by param-tree sniffing in the
+    serving engine, so ``checkpoints/craft.npz`` can hold either arch.
+    """
+
+    dtype: Any = jnp.bfloat16
+    norm: str = "group"
+    final_sigmoid: bool = True
+    gray_input: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f1, f2, f3, f4 = LiteBackbone(
+            dtype=self.dtype, norm=self.norm, gray_input=self.gray_input
+        )(x, train)
+        y = jnp.concatenate([_upsample_to(f4, f3), f3], axis=-1)  # 256+128 @ /8
+        y = DoubleConv(128, 96, self.dtype, self.norm)(y, train)
+        y = jnp.concatenate([_upsample_to(y, f2), f2], axis=-1)   # 96+64 @ /4
+        y = DoubleConv(64, 64, self.dtype, self.norm)(y, train)
+        y = jnp.concatenate([_upsample_to(y, f1), f1], axis=-1)   # 64+32 @ /2
+        feat = DoubleConv(64, 32, self.dtype, self.norm)(y, train)
+        h = ConvBN(16, use_bn=False, dtype=self.dtype)(feat, train)
+        out = nn.Conv(2, (1, 1), dtype=self.dtype)(h)
+        out = out.astype(jnp.float32)
+        return jax.nn.sigmoid(out) if self.final_sigmoid else out
+
+
 # ---------------------------------------------------------------------------
 # Published-layout variant (torch weight import)
 # ---------------------------------------------------------------------------

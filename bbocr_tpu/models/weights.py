@@ -219,8 +219,16 @@ def fold_gray_stem(craft_params: Mapping[str, Any]) -> Dict[str, Any]:
     from bbocr_tpu.models.craft import IMAGENET_MEAN, IMAGENET_STD
 
     params = dict(craft_params)
-    p = params["params"]["VGG16BN_0"]["ConvBN_0"]["Conv_0"]
-    w = np.asarray(p["kernel"], np.float32)  # (3, 3, 3, out)
+    # Stem conv location per arch: VGG16BN wraps conv1 in a ConvBN module;
+    # LiteBackbone's stride-2 stem is a bare nn.Conv followed by GroupNorm.
+    if "LiteBackbone_0" in params["params"]:
+        path = ("LiteBackbone_0", "Conv_0")
+    else:
+        path = ("VGG16BN_0", "ConvBN_0", "Conv_0")
+    node = params["params"]
+    for key in path:
+        node = node[key]
+    w = np.asarray(node["kernel"], np.float32)  # (3, 3, 3, out)
     if w.shape[2] == 2:
         return params  # already folded (idempotent: engines re-share params)
     mean = np.asarray(IMAGENET_MEAN, np.float32)
@@ -228,12 +236,13 @@ def fold_gray_stem(craft_params: Mapping[str, Any]) -> Dict[str, Any]:
     k_gray = (w / (255.0 * std[None, None, :, None])).sum(axis=2, keepdims=True)
     k_ones = -(w * (mean / std)[None, None, :, None]).sum(axis=2, keepdims=True)
     w2 = np.concatenate([k_gray, k_ones], axis=2)  # (3, 3, 2, out)
-    new_conv = {"kernel": w2.astype(w.dtype)}
+    new_conv = dict(node)
+    new_conv["kernel"] = w2.astype(w.dtype)
     # rebuild nested dicts without mutating the caller's tree
-    vgg = dict(params["params"]["VGG16BN_0"])
-    cbn = dict(vgg["ConvBN_0"])
-    cbn["Conv_0"] = new_conv
-    vgg["ConvBN_0"] = cbn
     top = dict(params["params"])
-    top["VGG16BN_0"] = vgg
+    cursor = top
+    for key in path[:-1]:
+        cursor[key] = dict(cursor[key])
+        cursor = cursor[key]
+    cursor[path[-1]] = new_conv
     return {**params, "params": top}

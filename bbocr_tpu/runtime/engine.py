@@ -142,12 +142,19 @@ class OCREngine:
         self.charset = charset
         # Param-tree sniffing: imported published checkpoints (see
         # models.weights.import_craft_from_torch) carry the torch slice
-        # layout and must run the published dataflow.
-        published = isinstance(craft_params, dict) and "slice1" in craft_params.get("params", {})
+        # layout and must run the published dataflow; LiteBackbone trees
+        # select the slim detector (models.craft.CRAFTLite, ~1/8 FLOPs).
+        tree = craft_params.get("params", {}) if isinstance(craft_params, dict) else {}
+        published = "slice1" in tree
+        lite = "LiteBackbone_0" in tree
         if published:
             from bbocr_tpu.models.craft import CRAFTPublished
 
             self.craft = CRAFTPublished(dtype=config.compute_dtype)
+        elif lite:
+            from bbocr_tpu.models.craft import CRAFTLite
+
+            self.craft = CRAFTLite(dtype=config.compute_dtype)
         else:
             self.craft = CRAFT(dtype=config.compute_dtype)
         self.crnn = CRNN(num_classes=charset.num_classes, dtype=config.compute_dtype)
@@ -157,10 +164,12 @@ class OCREngine:
         # keeps the reference preprocessing path (no folded stem).
         self._fold = bool(config.fold_gray_stem) and not published
         if self._fold:
+            from bbocr_tpu.models.craft import CRAFTLite
             from bbocr_tpu.models.weights import fold_gray_stem
 
             craft_params = fold_gray_stem(craft_params)
-            self.craft_infer = CRAFT(dtype=config.compute_dtype, gray_input=True)
+            infer_cls = CRAFTLite if lite else CRAFT
+            self.craft_infer = infer_cls(dtype=config.compute_dtype, gray_input=True)
         else:
             self.craft_infer = self.craft
         self.mesh = mesh

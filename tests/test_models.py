@@ -22,6 +22,70 @@ class TestCRAFT:
         assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
 
 
+class TestCRAFTLite:
+    def test_forward_shapes(self):
+        from bbocr_tpu.models import CRAFTLite
+
+        model = CRAFTLite(dtype=jnp.float32)
+        x = jnp.zeros((1, 64, 96, 3), jnp.float32)
+        params = model.init(jax.random.PRNGKey(0), x)
+        out = jax.jit(lambda p, x: model.apply(p, x))(params, x)
+        assert out.shape == (1, 32, 48, 2)
+        assert out.dtype == jnp.float32
+        assert np.all(np.asarray(out) >= 0) and np.all(np.asarray(out) <= 1)
+
+    def test_param_count_well_below_vgg(self):
+        from bbocr_tpu.models import CRAFTLite
+
+        def n_params(model):
+            p = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+            return sum(int(np.prod(a.shape)) for a in jax.tree_util.tree_leaves(p))
+
+        lite, vgg = n_params(CRAFTLite(dtype=jnp.float32)), n_params(CRAFT(dtype=jnp.float32))
+        assert lite < vgg / 5, (lite, vgg)
+
+    def test_folded_gray_stem_matches_rgb_path(self):
+        from bbocr_tpu.models import CRAFTLite
+        from bbocr_tpu.models.craft import normalize_image
+        from bbocr_tpu.models.weights import fold_gray_stem
+
+        rgb_model = CRAFTLite(dtype=jnp.float32)
+        gray_model = CRAFTLite(dtype=jnp.float32, gray_input=True)
+        params = rgb_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        folded = fold_gray_stem(params)
+        g = np.random.default_rng(1).uniform(0, 255, (2, 64, 96)).astype(np.float32)
+        rgb01 = jnp.repeat(jnp.asarray(g)[..., None], 3, axis=-1) / 255.0
+        ref = rgb_model.apply(params, normalize_image(rgb01))
+        got = gray_model.apply(folded, jnp.asarray(g)[..., None])
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    def test_engine_sniffs_lite_checkpoint(self, tmp_path):
+        from bbocr_tpu.models import CRAFTLite, CRNN
+        from bbocr_tpu.runtime.bucketing import CanvasSpec
+        from bbocr_tpu.runtime.engine import EngineConfig, OCREngine
+        from bbocr_tpu.utils.checkpoint import load_params, save_params
+
+        lite = CRAFTLite(dtype=jnp.float32)
+        lp = lite.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        crnn = CRNN(num_classes=EN_CHARSET.num_classes, dtype=jnp.float32)
+        rp = crnn.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 64, 1)))
+        cpath, rpath = str(tmp_path / "c.npz"), str(tmp_path / "r.npz")
+        save_params(cpath, jax.device_get(lp))
+        save_params(rpath, jax.device_get(rp))
+        cfg = EngineConfig(
+            canvases=(CanvasSpec(64, 64),), width_buckets=(32,),
+            batch_capacities=(4,), compute_dtype=jnp.float32,
+        )
+        eng = OCREngine(load_params(cpath), load_params(rpath), cfg)
+        assert type(eng.craft).__name__ == "CRAFTLite"
+        assert eng._fold  # folded lite stem: (gray, ones) input channels
+        k = eng.craft_params["params"]["LiteBackbone_0"]["Conv_0"]["kernel"]
+        assert k.shape[2] == 2
+        img = np.random.default_rng(0).integers(0, 255, (80, 60), np.uint8)
+        res = eng.readtext(img)  # end to end through the lite detect program
+        assert isinstance(res, list)
+
+
 class TestCRNN:
     def test_forward_shapes(self):
         n_cls = EN_CHARSET.num_classes
