@@ -1,0 +1,153 @@
+#!/bin/bash
+# Round-4 chain: runs AFTER scripts/chain_r3e.sh (live as /tmp/chain_v10.sh)
+# touches /tmp/CHAIN_PAUSED. Stages:
+#   1. promote the r3e CRNN winner (guarded on paired-covers word recall)
+#   2. promote the r3e CRAFT if its eval beats the winner's baseline eval
+#   3. on-chip bench with the promoted stack (artifacts into data/evals/)
+#   4. CRAFTLite distillation train (~1/8 detect FLOPs, docs/BUDGET.md)
+#   5. lite A/B eval; promote ONLY at unchanged real-corpus recall
+#      (VGG checkpoint kept as checkpoints/craft_vgg.npz)
+#   6. re-bench if lite promoted
+# touch /tmp/STOP_CHAIN_R4 to stop at the next stage boundary.
+# All timeouts TERM-first (never KILL a client holding the chip mid-compile).
+cd /root/repo
+STOP=/tmp/STOP_CHAIN_R4
+LOG=/tmp/chain_r4.log
+log(){ echo "$1 $(date)" >> $LOG; }
+stage(){ if [ -f $STOP ]; then log "STOP before $1"; exit 0; fi; log "stage $1"; }
+T="timeout --signal=TERM --kill-after=180"
+mkdir -p data/evals checkpoints/candidates /tmp/train_logs
+
+# ---- stage 0: wait for the r3e chain to finish (or die), then probe ------
+V10PID=$(cat /tmp/chain_v10.pid 2>/dev/null)
+while [ ! -f /tmp/CHAIN_PAUSED ]; do
+  [ -f $STOP ] && exit 0
+  if [ -n "$V10PID" ] && ! kill -0 "$V10PID" 2>/dev/null; then
+    log "chain_v10 exited without CHAIN_PAUSED; proceeding with own probe"
+    break
+  fi
+  sleep 60
+done
+log "r3e chain done/gone, probing chip"
+while true; do
+  [ -f $STOP ] && exit 0
+  timeout 600 python -c "
+import jax, jax.numpy as jnp
+print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))
+" > /tmp/chain_r4_probe.log 2>&1 && break
+  log "tpu still down"
+  sleep 120
+done
+log "TPU up for r4 chain"
+
+# ---- stage 1+2: guarded promotion --------------------------------------
+stage promote
+python3 - <<'EOF' >> $LOG 2>&1
+import json, os, shutil
+
+def rec(p):
+    try:
+        d = json.load(open(p))
+        return d.get("tpu_mean_word_recall_on_paired"), d.get("tpu_mean_word_recall")
+    except Exception:
+        return None, None
+
+# shipped baseline: the committed r3-shipped eval if present, else r3 number
+base_cov, base_all = rec("data/evals/eval_r3_shipped.json")
+if base_cov is None:
+    base_cov, base_all = 0.112, 0.204
+cands = {
+    "checkpoints/candidates/crnn_r3e.npz": "data/evals/eval_r3e.json",
+    "checkpoints/candidates/crnn_r3e_best_real.npz": "data/evals/eval_r3e_br.json",
+}
+best_ck, best_cov, best_eval = None, base_cov, None
+for ck, ev in cands.items():
+    if not (os.path.exists(ck) and os.path.exists(ev)):
+        continue
+    cov, _ = rec(ev)
+    if cov is not None and cov > best_cov:
+        best_ck, best_cov, best_eval = ck, cov, ev
+if best_ck:
+    shutil.copy("checkpoints/crnn.npz", "checkpoints/crnn_prev.npz")
+    shutil.copy(best_ck, "checkpoints/crnn.npz")
+    print(f"PROMOTED CRNN {best_ck} (paired covers recall {best_cov} > {base_cov})")
+else:
+    print(f"CRNN NOT promoted (no candidate beats paired recall {base_cov})")
+
+# CRAFT: eval_r3e2 = new craft + picked crnn; baseline = the picked crnn's
+# own eval with the old craft
+cov_new, _ = rec("data/evals/eval_r3e2.json")
+cov_old = best_cov if best_eval else base_cov
+if cov_new is not None and os.path.exists("checkpoints/candidates/craft_r3e.npz") and cov_new >= cov_old:
+    shutil.copy("checkpoints/craft.npz", "checkpoints/craft_prev.npz")
+    shutil.copy("checkpoints/candidates/craft_r3e.npz", "checkpoints/craft.npz")
+    print(f"PROMOTED CRAFT r3e (paired recall {cov_new} >= {cov_old})")
+else:
+    print(f"CRAFT NOT promoted (new {cov_new} vs baseline {cov_old})")
+EOF
+
+# ---- stage 3: on-chip bench with the promoted stack ----------------------
+stage bench_promoted
+$T 3600 python bench.py > data/evals/bench_r4.json 2> data/evals/bench_r4_side.json
+log "bench rc=$?: $(cat data/evals/bench_r4.json)"
+
+# ---- stage 4: CRAFTLite distillation train -------------------------------
+stage craft_lite
+$T 10800 python -u -m bbocr_tpu.cli.train --component craft --arch lite \
+  --steps 4000 --batch 16 --page-h 256,384 --page-w 192,256 --lr 4e-4 \
+  --schedule cosine --warmup 100 --neg-ratio 4 \
+  --distill-from checkpoints/craft.npz --distill-weight 0.5 \
+  --data-threads 8 --out /tmp/ckpt_craft_lite --save-every 500 --log-every 50 \
+  > /tmp/train_logs/craft_lite.log 2>&1
+cp /tmp/ckpt_craft_lite/craft.npz checkpoints/candidates/craft_lite.npz 2>/dev/null
+
+# ---- stage 5: lite A/B + guarded promote ---------------------------------
+stage eval_lite
+$T 2700 python -u -m bbocr_tpu.cli.evaluate_real \
+  --craft /tmp/ckpt_craft_lite/craft.npz --crnn checkpoints/crnn.npz \
+  --out /tmp/eval_r4_lite.json > /tmp/eval_r4_lite.log 2>&1
+cp /tmp/eval_r4_lite.json data/evals/eval_r4_lite.json 2>/dev/null
+
+stage promote_lite
+python3 - <<'EOF' >> $LOG 2>&1
+import json, os, shutil
+
+def rec(p):
+    try:
+        d = json.load(open(p))
+        return d.get("tpu_mean_word_recall"), d.get("tpu_mean_word_recall_on_paired")
+    except Exception:
+        return None, None
+
+lite_all, lite_cov = rec("data/evals/eval_r4_lite.json")
+# baseline = best committed eval of the promoted stack
+base_all, base_cov = None, None
+for ev in ("data/evals/eval_r3e2.json", "data/evals/eval_r3e_br.json",
+           "data/evals/eval_r3e.json", "data/evals/eval_r3_shipped.json"):
+    if os.path.exists(ev):
+        a, c = rec(ev)
+        if a is not None:
+            base_all, base_cov = a, c
+            break
+ok = (
+    lite_all is not None and base_all is not None
+    and lite_all >= base_all - 0.01
+    and (lite_cov or 0) >= (base_cov or 0) - 0.01
+)
+if ok:
+    shutil.copy("checkpoints/craft.npz", "checkpoints/craft_vgg.npz")
+    shutil.copy("checkpoints/candidates/craft_lite.npz", "checkpoints/craft.npz")
+    print(f"PROMOTED CRAFTLite (recall {lite_all}/{lite_cov} vs {base_all}/{base_cov})")
+else:
+    print(f"CRAFTLite NOT promoted ({lite_all}/{lite_cov} vs {base_all}/{base_cov}) — VGG stays")
+EOF
+
+# ---- stage 6: re-bench if lite promoted ----------------------------------
+stage bench_final
+if [ -f checkpoints/craft_vgg.npz ]; then
+  $T 3600 python bench.py > data/evals/bench_r4_lite.json 2> data/evals/bench_r4_lite_side.json
+  log "lite bench rc=$?: $(cat data/evals/bench_r4_lite.json)"
+fi
+
+touch /tmp/CHAIN_R4_DONE
+log "CHAIN R4 DONE (chip free; VLM go/no-go is a manual decision)"
