@@ -221,6 +221,13 @@ def evaluate_real(
             "fields": fields,
             "ocr_text": ocr_text,
             "results": results_dump,
+            # The structurer's exact input (text, conf, rel_height, img_i)
+            # per visual line: committed eval artifacts then support
+            # OFFLINE structurer iteration (cli/restructure.py) without
+            # re-running the engine.
+            "lines": [
+                [t, round(c, 3), round(h, 3), img] for t, c, h, img in lines_all
+            ],
         }
         ref_key = entry.get("easyocr_reference_key")
         if ref_key and ref_key in easy:
