@@ -132,19 +132,22 @@ _PUBLISHED_BY_RE = re.compile(
 
 def find_publisher(text: str) -> Optional[str]:
     m = _PUBLISHED_BY_RE.search(text)
-    if m:
-        tail = m.group(1).strip()
-        # trim to the imprint-suffix phrase when present ("Acme Press in
-        # London" -> "Acme Press"); otherwise keep the whole name
+    tail = m.group(1).strip() if m else None
+    if tail:
         suffix = _PUBLISHER_SUFFIX_RE.search(tail)
-        return suffix.group(1).strip() if suffix else tail
+        if suffix:
+            return suffix.group(1).strip()
+    # A suffix-shaped imprint anywhere in the text ("A. L. BURT COMPANY")
+    # beats a suffix-less "published by <tail>" capture: on real pages the
+    # tail is often OCR junk mid-sentence ("published by arensenerts with
+    # a") while the cased imprint line survives recognition.
     m = _PUBLISHER_SUFFIX_RE.search(text)
     if m:
         return m.group(1).strip()
     for pub in KNOWN_PUBLISHERS:
         if re.search(r"\b" + re.escape(pub) + r"\b", text, re.IGNORECASE):
             return pub
-    return None
+    return tail
 
 
 def find_price(text: str) -> Dict[str, Any]:
@@ -204,6 +207,14 @@ _NON_AUTHOR_RE = re.compile(
 )
 
 
+def _clean_author(line: str) -> str:
+    """Drop bare 1-letter noise tokens (stray detections around a byline:
+    'By N MARTHA a AMi FINLEY' -> 'MARTHA AMi FINLEY'). Dotted initials
+    ('J.' in 'J. K. Rowling') are kept — they are real name parts."""
+    toks = [t for t in line.split() if len(t) > 1 or "." in t]
+    return " ".join(toks) if toks else line.strip()
+
+
 def _plausible_author(line: str) -> bool:
     """A name-like line: 1-5 words, no digits, no imprint vocabulary."""
     line = line.strip()
@@ -216,16 +227,55 @@ def _plausible_author(line: str) -> bool:
 
 
 _NON_TITLE_RE = re.compile(
-    r"\b(company|press|publishers?|publishing|inc|ltd|copyright|reserved"
-    r"|printed|isbn|edition|impression|authorized|york|london|boston"
-    r"|chicago|authou?r|volume|novel|stories|essays|memoir|tales|poems)\b",
+    r"\b(company|press|publishers?|publishing|published|inc|ltd|copyright"
+    r"|reserved|printed|printing|isbn|edition|impression|authorized|york"
+    r"|london|boston|chicago|authou?r|volume|novel|stories|essays|memoir"
+    r"|tales|poems)\b",
     re.IGNORECASE,
 )
+
+# Imprint vocabulary for the FUZZY line filter: OCR noise defeats the exact
+# word list above ("Prinling", "Ortther", "CopyriGhT 1899" read from real
+# pages), but an imprint word at edit distance <= 1-2 is still an imprint
+# line, and imprint lines on title/copyright pages are often tall enough to
+# win the title prominence score.
+_IMPRINT_VOCAB = (
+    "published", "publisher", "publishers", "publishing", "printing",
+    "printed", "copyright", "edition", "impression", "reserved",
+    "simultaneously", "arrangement", "october", "september",
+)
+
+
+def _edit1or2(a: str, b: str) -> bool:
+    """len-bounded Levenshtein <= 2 (tiny strings; O(len^2) fine)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 2:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        if min(cur) > 2:
+            return False
+        prev = cur
+    return prev[lb] <= 2
+
+
+def _looks_like_imprint(text: str) -> bool:
+    for w in re.findall(r"[A-Za-z]+", text.lower()):
+        if len(w) < 6:
+            continue
+        for v in _IMPRINT_VOCAB:
+            if _edit1or2(w, v):
+                return True
+    return False
 
 
 def _title_plausible(text: str) -> bool:
     t = text.strip()
-    if len(t) < 4 or _NON_TITLE_RE.search(t):
+    if len(t) < 4 or _NON_TITLE_RE.search(t) or _looks_like_imprint(t):
         return False
     alpha = sum(ch.isalpha() for ch in t)
     if alpha / max(len(t), 1) < 0.55:
@@ -280,7 +330,7 @@ def heuristic_extract_lines(lines: List[Tuple]) -> Dict[str, Any]:
     # an explicit "by <Name>" line outranks positional/base guesses
     by_line = next(
         (
-            re.sub(r"(?i)^by\s+", "", t).strip()
+            _clean_author(re.sub(r"(?i)^by\s+", "", t))
             for t, c, h, img in scored
             if re.match(r"(?i)^by\s+\S", t)
         ),
@@ -293,7 +343,7 @@ def heuristic_extract_lines(lines: List[Tuple]) -> Dict[str, Any]:
         for t, c, h, img in scored:
             if t in skip:
                 continue
-            cand = re.sub(r"(?i)^by\s+", "", t).strip()
+            cand = _clean_author(re.sub(r"(?i)^by\s+", "", t))
             if _plausible_author(cand):
                 meta["authors"] = [cand]
                 break
