@@ -246,10 +246,10 @@ _IMPRINT_VOCAB = (
 )
 
 
-def _edit1or2(a: str, b: str) -> bool:
-    """len-bounded Levenshtein <= 2 (tiny strings; O(len^2) fine)."""
+def _edit_within(a: str, b: str, k: int) -> bool:
+    """len-bounded Levenshtein <= k (tiny strings; O(len^2) fine)."""
     la, lb = len(a), len(b)
-    if abs(la - lb) > 2:
+    if abs(la - lb) > k:
         return False
     prev = list(range(lb + 1))
     for i in range(1, la + 1):
@@ -257,20 +257,23 @@ def _edit1or2(a: str, b: str) -> bool:
         for j in range(1, lb + 1):
             cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
                          prev[j - 1] + (a[i - 1] != b[j - 1]))
-        if min(cur) > 2:
+        if min(cur) > k:
             return False
         prev = cur
-    return prev[lb] <= 2
+    return prev[lb] <= k
 
 
 def _looks_like_imprint(text: str) -> bool:
     for w in re.findall(r"[A-Za-z]+", text.lower()):
         if len(w) < 6:
             continue
+        # edit<=2 on 6-7 letter words hits real title words ("Pronter" ~
+        # "printed") — allow 2 edits only on 8+ letter words
+        k = 1 if len(w) < 8 else 2
         for v in _IMPRINT_VOCAB:
-            if _edit1or2(w, v):
+            if _edit_within(w, v, k):
                 return True
-    return False
+    return re.search(r"&\s*co\b", text, re.IGNORECASE) is not None
 
 
 def _title_plausible(text: str) -> bool:
