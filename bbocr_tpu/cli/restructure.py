@@ -60,6 +60,7 @@ def main() -> None:
     rows = []
     stored_hits: Dict[str, list] = {f: [] for f in FIELDS}
     new_hits: Dict[str, list] = {f: [] for f in FIELDS}
+    new_ratios: Dict[str, list] = {f: [] for f in FIELDS}
     for row in art.get("details", []):
         key = row["book"]
         truth = gt.get(key)
@@ -75,6 +76,7 @@ def main() -> None:
         for f in FIELDS:
             if f in fields:
                 new_hits[f].append(fields[f]["fuzzy"])
+                new_ratios[f].append(fields[f]["ratio"])
             if isinstance(stored, dict) and f in stored:
                 stored_hits[f].append(bool(stored[f].get("fuzzy")))
         rows.append({"book": key, "fields": fields,
@@ -85,13 +87,17 @@ def main() -> None:
                 mark = "+" if v["fuzzy"] else " "
                 print(f"{key:18s} {f:9s} {mark} new={v['pred']!r} old={old!r} truth={v['truth']!r}")
 
-    print(f"\n{'field':10s} {'stored':>8s} {'replayed':>9s}   (fuzzy acc, n)")
+    # mean fuzzy ratio tracks sub-threshold progress (a pick moving from
+    # junk 0.2 to near-title 0.68 is invisible in fuzzy accuracy)
+    print(f"\n{'field':10s} {'stored':>8s} {'replayed':>9s} {'ratio':>6s}   (fuzzy acc, n; mean ratio)")
     for f in FIELDS:
         s, n = stored_hits[f], new_hits[f]
         if not (s or n):
             continue
         fmt = lambda xs: f"{sum(xs)/len(xs):.3f}/{len(xs)}" if xs else "-"
-        print(f"{f:10s} {fmt(s):>8s} {fmt(n):>9s}")
+        r = new_ratios[f]
+        rs = f"{sum(r)/len(r):.3f}" if r else "-"
+        print(f"{f:10s} {fmt(s):>8s} {fmt(n):>9s} {rs:>6s}")
     if args.out:
         with open(args.out, "w") as f:
             json.dump(rows, f, indent=1)
