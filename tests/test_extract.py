@@ -117,6 +117,42 @@ class TestHeuristics:
     def test_empty(self):
         assert heuristic_extract("")["title"] is None
 
+    def test_fuzzy_imprint_rejection(self):
+        from bbocr_tpu.extract.heuristics import _looks_like_imprint
+
+        # OCR-garbled imprint words (real reads from the photo corpus)
+        assert _looks_like_imprint("First Ase Prinling Outher 1977")
+        assert _looks_like_imprint("Published Simencony In Camdn")
+        assert _looks_like_imprint("Copyrighted in Grost Brs")
+        assert _looks_like_imprint("A. C. MeClrs & Co.")
+        # real title words within edit-2 of imprint vocabulary must survive
+        assert not _looks_like_imprint("J Bevond the Pronter")
+        assert not _looks_like_imprint("The Winter Palace")
+
+    def test_lines_title_skips_garbled_imprint(self):
+        from bbocr_tpu.extract.heuristics import heuristic_extract_lines
+
+        lines = [
+            ("Published Ortther 1915", 0.07, 1.0, 2),
+            ("J Bevond the Pronter", 0.17, 0.54, 1),
+            ("By RANDALL PARRISH", 0.33, 0.20, 1),
+        ]
+        meta = heuristic_extract_lines(lines)
+        assert meta["title"] == "J Bevond the Pronter"
+        assert meta["authors"] == ["RANDALL PARRISH"]
+
+    def test_author_noise_tokens_stripped(self):
+        from bbocr_tpu.extract.heuristics import heuristic_extract_lines
+
+        lines = [("By N MARTHA a FINLEY", 0.4, 0.3, 1)]
+        assert heuristic_extract_lines(lines)["authors"] == ["MARTHA FINLEY"]
+
+    def test_publisher_suffix_beats_junk_tail(self):
+        meta = heuristic_extract(
+            "Published by Arensenerts with a\nA. L. BURT COMPANY\nNew York"
+        )
+        assert meta["publisher"] == "A. L. BURT COMPANY"
+
 
 class TestExtractorPipeline:
     def test_default_ocr_indices(self):
