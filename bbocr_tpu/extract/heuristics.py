@@ -208,11 +208,20 @@ _NON_AUTHOR_RE = re.compile(
 
 
 def _clean_author(line: str) -> str:
-    """Drop bare 1-letter noise tokens (stray detections around a byline:
-    'By N MARTHA a AMi FINLEY' -> 'MARTHA AMi FINLEY'). Dotted initials
-    ('J.' in 'J. K. Rowling') are kept — they are real name parts."""
-    toks = [t for t in line.split() if len(t) > 1 or "." in t]
-    return " ".join(toks) if toks else line.strip()
+    """Drop ISOLATED bare 1-letter noise tokens (stray detections around a
+    byline: 'By N MARTHA a AMi FINLEY' -> 'MARTHA AMi FINLEY'). Dotted
+    initials ('J.') are always kept, and so are RUNS of 2+ consecutive
+    single letters ('J K Rowling') — those are undotted initials."""
+    toks = line.split()
+    bare = [len(t) == 1 and "." not in t for t in toks]
+    keep = [
+        t
+        for i, t in enumerate(toks)
+        if not bare[i]
+        or (i > 0 and bare[i - 1])
+        or (i + 1 < len(toks) and bare[i + 1])
+    ]
+    return " ".join(keep) if keep else line.strip()
 
 
 def _plausible_author(line: str) -> bool:

@@ -146,6 +146,9 @@ class TestHeuristics:
 
         lines = [("By N MARTHA a FINLEY", 0.4, 0.3, 1)]
         assert heuristic_extract_lines(lines)["authors"] == ["MARTHA FINLEY"]
+        # runs of 2+ single letters are undotted initials, not noise
+        lines = [("By J K Rowling", 0.4, 0.3, 1)]
+        assert heuristic_extract_lines(lines)["authors"] == ["J K Rowling"]
 
     def test_publisher_suffix_beats_junk_tail(self):
         meta = heuristic_extract(
