@@ -130,24 +130,40 @@ _PUBLISHED_BY_RE = re.compile(
 )
 
 
+def _clean_publisher(name: str) -> str:
+    """Trim junk LEADING tokens off a suffix-anchored publisher capture:
+    'by Houghton Mifflin & Company', 'ss kz HarperCollins Publishers',
+    'First Chronicle Books', 'An Are Books' — connective words, edition
+    ordinals, and short OCR-noise fragments precede the real name on real
+    pages. Dotted tokens stop the trim ('A. L. BURT COMPANY' keeps its
+    initials)."""
+    drop = {"by", "published", "first", "a", "an", "the"}
+    toks = name.split()
+    while len(toks) > 1 and "." not in toks[0] and (
+        toks[0].lower() in drop or len(toks[0]) <= 2
+    ):
+        toks.pop(0)
+    return " ".join(toks)
+
+
 def find_publisher(text: str) -> Optional[str]:
     m = _PUBLISHED_BY_RE.search(text)
     tail = m.group(1).strip() if m else None
     if tail:
         suffix = _PUBLISHER_SUFFIX_RE.search(tail)
         if suffix:
-            return suffix.group(1).strip()
+            return _clean_publisher(suffix.group(1).strip())
     # A suffix-shaped imprint anywhere in the text ("A. L. BURT COMPANY")
     # beats a suffix-less "published by <tail>" capture: on real pages the
     # tail is often OCR junk mid-sentence ("published by arensenerts with
     # a") while the cased imprint line survives recognition.
     m = _PUBLISHER_SUFFIX_RE.search(text)
     if m:
-        return m.group(1).strip()
+        return _clean_publisher(m.group(1).strip())
     for pub in KNOWN_PUBLISHERS:
         if re.search(r"\b" + re.escape(pub) + r"\b", text, re.IGNORECASE):
             return pub
-    return tail
+    return _clean_publisher(tail) if tail else None
 
 
 def find_price(text: str) -> Dict[str, Any]:

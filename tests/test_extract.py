@@ -150,6 +150,15 @@ class TestHeuristics:
         lines = [("By J K Rowling", 0.4, 0.3, 1)]
         assert heuristic_extract_lines(lines)["authors"] == ["J K Rowling"]
 
+    def test_publisher_leading_junk_trimmed(self):
+        from bbocr_tpu.extract.heuristics import _clean_publisher
+
+        assert _clean_publisher("by Houghton Mifflin & Company") == "Houghton Mifflin & Company"
+        assert _clean_publisher("ss kz HarperCollins Publishers") == "HarperCollins Publishers"
+        assert _clean_publisher("First Chronicle Books") == "Chronicle Books"
+        # dotted initials are real name parts, never trimmed
+        assert _clean_publisher("A. L. BURT COMPANY") == "A. L. BURT COMPANY"
+
     def test_publisher_suffix_beats_junk_tail(self):
         meta = heuristic_extract(
             "Published by Arensenerts with a\nA. L. BURT COMPANY\nNew York"
