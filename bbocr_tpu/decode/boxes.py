@@ -227,8 +227,14 @@ def split_multiline_quads(
     behavior, not a parity break.
 
     The REGION map alone separates lines (gaps between baselines score ~0):
-    within each quad's bbox, segment the row profile of ``region > low_text``
-    at its valleys and emit one min-area rect per line-shaped segment.
+    within each quad, segment the row profile of ``region > low_text`` at
+    its valleys and emit one min-area rect per line-shaped segment. The
+    profile runs along the QUAD's height axis (its edge closest to image-
+    vertical), not image rows: hand-held cover photos tilt the book 10-30°
+    (data/real/covers/book1 at -14.5°), and along image rows the rotated
+    lines overlap with no valley — the fused "HARRY POTTER" block survived
+    the axis-aligned profile unsplit. For axis-aligned quads the rotated
+    profile reduces to the original row profile exactly.
     Guards: a quad is replaced only when >= 2 segments emerge, each clearly
     shorter than the original, and the majority are wider than tall —
     vertical spine text and display drop-caps fall through unchanged (their
@@ -246,11 +252,48 @@ def split_multiline_quads(
         if qh < 16 or qw < 4:
             out.append(q)
             continue
-        sub = hot[y0:y1, x0:x1]
-        prof = sub.sum(axis=1).astype(np.float32)
-        if prof.max() <= 0:
+        ys_a, xs_a = np.nonzero(hot[y0:y1, x0:x1])
+        if ys_a.size < min_size_px:
             out.append(q)
             continue
+        pts_all = np.stack(
+            [xs_a.astype(np.float32) + x0, ys_a.astype(np.float32) + y0], axis=1
+        )
+        # Keep only pixels inside the quad polygon: the bbox of a rotated
+        # quad overlaps neighboring components, whose pixels would corrupt
+        # the profile. Sign-agnostic convex test (quads are rectangles from
+        # _min_area_rect; winding depends on source).
+        edge_cross = np.stack(
+            [
+                (q[(i + 1) % 4, 0] - q[i, 0]) * (pts_all[:, 1] - q[i, 1])
+                - (q[(i + 1) % 4, 1] - q[i, 1]) * (pts_all[:, 0] - q[i, 0])
+                for i in range(4)
+            ]
+        )
+        inside = (edge_cross >= -1.5).all(axis=0) | (edge_cross <= 1.5).all(axis=0)
+        if int(inside.sum()) < min_size_px:
+            out.append(q)
+            continue
+        pts_all = pts_all[inside]
+        # Quad frame: v = unit edge closest to image-vertical (height axis),
+        # u = the other edge direction (reading axis).
+        e01 = q[1] - q[0]
+        e03 = q[3] - q[0]
+        n01 = float(np.linalg.norm(e01)) or 1.0
+        n03 = float(np.linalg.norm(e03)) or 1.0
+        if abs(e03[1]) / n03 >= abs(e01[1]) / n01:
+            u, v = e01 / n01, e03 / n03
+        else:
+            u, v = e03 / n03, e01 / n01
+        rx = pts_all @ u.astype(np.float32)
+        ry = pts_all @ v.astype(np.float32)
+        ry0 = float(ry.min())
+        rows_idx = np.floor(ry - ry0).astype(np.int64)
+        n_rows = int(rows_idx.max()) + 1
+        if n_rows < 16:
+            out.append(q)
+            continue
+        prof = np.bincount(rows_idx, minlength=n_rows).astype(np.float32)
         # smooth over 3 rows so single-row pinholes don't split glyphs
         prof = np.convolve(prof, np.ones(3, np.float32) / 3.0, mode="same")
         on = prof >= max(1.0, 0.18 * float(prof.max()))
@@ -258,8 +301,8 @@ def split_multiline_quads(
         segs: List[tuple] = []
         start = None
         gap = 0
-        for i, v in enumerate(on):
-            if v:
+        for i, bv in enumerate(on):
+            if bv:
                 if start is None:
                     start = i
                 gap = 0
@@ -275,18 +318,19 @@ def split_multiline_quads(
             out.append(q)
             continue
         med_h = float(np.median([b - a for a, b in segs]))
-        if med_h > 0.6 * qh:
+        if med_h > 0.6 * n_rows:
             out.append(q)
             continue
         pieces: List[np.ndarray] = []
         line_shaped = 0
         for a, b in segs:
-            ys_l, xs_l = np.nonzero(sub[a:b])
-            if xs_l.size < min_size_px:
+            sel = (rows_idx >= a) & (rows_idx < b)
+            if int(sel.sum()) < min_size_px:
                 continue
-            if xs_l.size and (xs_l.max() - xs_l.min() + 1) >= 1.3 * (b - a):
+            rx_s = rx[sel]
+            if (float(rx_s.max()) - float(rx_s.min()) + 1.0) >= 1.3 * (b - a):
                 line_shaped += 1
-            pts = np.stack([xs_l + x0, ys_l + y0 + a], axis=1)
+            pts = pts_all[sel]
             rect = _min_area_rect(pts)
             center = rect.mean(axis=0)
             dirs = rect - center
