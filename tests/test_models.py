@@ -361,6 +361,69 @@ class TestMultilineSplit:
         assert len(out) == 1
         assert np.allclose(out[0], q[0])
 
+    def _rot(self, deg):
+        t = np.deg2rad(deg)
+        return np.array(
+            [[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]], np.float32
+        )
+
+    def test_rotated_fused_stack_splits_along_quad_axis(self):
+        # Tilted cover title block (data/real/covers/book1 sits at -14.5deg):
+        # along IMAGE rows the two lines overlap with no valley; the profile
+        # must run along the quad's own height axis to find the gap.
+        from bbocr_tpu.decode import split_multiline_quads
+
+        R = self._rot(15.0)
+        c = np.array([96.0, 96.0], np.float32)
+        region = np.zeros((192, 192), np.float32)
+        yy, xx = np.mgrid[0:192, 0:192]
+        pts = np.stack([xx.ravel(), yy.ravel()], 1).astype(np.float32) - c
+        local = pts @ R  # image -> block frame
+        for cy_l in (-22.0, 14.0):  # two 20px lines, 16px gap
+            m = (
+                (np.abs(local[:, 0]) < 70)
+                & (local[:, 1] >= cy_l)
+                & (local[:, 1] < cy_l + 20)
+            )
+            region.ravel()[np.flatnonzero(m)] = 0.9
+        corners = np.array(
+            [[-74, -26], [74, -26], [74, 38], [-74, 38]], np.float32
+        )
+        fused = [corners @ R.T + c]
+        out = split_multiline_quads(fused, region)
+        assert len(out) == 2
+        for q in out:
+            e = q[1] - q[0]
+            h = np.linalg.norm(q[3] - q[0])
+            w = np.linalg.norm(e)
+            assert w > h  # line-shaped pieces
+            assert h < 32  # one line each, not the 64px block
+            ang = abs(np.degrees(np.arctan2(e[1], e[0])))
+            assert min(ang, abs(ang - 180)) > 5  # pieces keep the tilt
+
+    def test_rotated_quad_ignores_bbox_bleed_from_neighbor(self):
+        # The bbox of a tilted quad overlaps the neighboring component;
+        # profile pixels must be restricted to the quad polygon or the
+        # neighbor's rows shred the single-line quad into slivers.
+        from bbocr_tpu.decode import split_multiline_quads
+
+        R = self._rot(20.0)
+        c = np.array([80.0, 64.0], np.float32)
+        region = np.zeros((128, 192), np.float32)
+        yy, xx = np.mgrid[0:128, 0:192]
+        pts = np.stack([xx.ravel(), yy.ravel()], 1).astype(np.float32) - c
+        local = pts @ R
+        m = (np.abs(local[:, 0]) < 60) & (np.abs(local[:, 1]) < 10)
+        region.ravel()[np.flatnonzero(m)] = 0.9
+        region[8:120, 150:188] = 0.9  # unrelated neighbor inside the bbox
+        corners = np.array(
+            [[-62, -12], [62, -12], [62, 12], [-62, 12]], np.float32
+        )
+        q = [corners @ R.T + c]
+        out = split_multiline_quads(q, region)
+        assert len(out) == 1
+        assert np.allclose(out[0], q[0])
+
     def test_vertical_spine_text_not_shredded(self):
         from bbocr_tpu.decode import split_multiline_quads
 
