@@ -52,10 +52,16 @@ def rec(p):
     except Exception:
         return None, None
 
-# shipped baseline: the committed r3-shipped eval if present, else r3 number
-base_cov, base_all = rec("data/evals/eval_r3_shipped.json")
-if base_cov is None:
-    base_cov, base_all = 0.112, 0.204
+# Baseline = best committed eval of whatever currently ships (the r3
+# checkpoint OR the promoted CPU-hedge retrain) — a chip candidate must
+# beat the best evidence on record, not just the r3 number.
+import glob
+
+base_cov, base_all = 0.112, 0.204
+for p in ["data/evals/eval_r3_shipped.json"] + sorted(glob.glob("data/evals/eval_r4_cpu*.json")):
+    c, a = rec(p)
+    if c is not None and c > base_cov:
+        base_cov, base_all = c, a
 cands = {
     "checkpoints/candidates/crnn_r3e.npz": "data/evals/eval_r3e.json",
     "checkpoints/candidates/crnn_r3e_best_real.npz": "data/evals/eval_r3e_br.json",
@@ -122,8 +128,12 @@ def rec(p):
 lite_all, lite_cov = rec("data/evals/eval_r4_lite.json")
 # baseline = best committed eval of the promoted stack
 base_all, base_cov = None, None
-for ev in ("data/evals/eval_r3e2.json", "data/evals/eval_r3e_br.json",
-           "data/evals/eval_r3e.json", "data/evals/eval_r3_shipped.json"):
+import glob
+
+for ev in (["data/evals/eval_r3e2.json", "data/evals/eval_r3e_br.json",
+            "data/evals/eval_r3e.json"]
+           + sorted(glob.glob("data/evals/eval_r4_cpu*.json"))
+           + ["data/evals/eval_r3_shipped.json"]):
     if os.path.exists(ev):
         a, c = rec(ev)
         if a is not None:
