@@ -270,7 +270,14 @@ def split_multiline_quads(
                 for i in range(4)
             ]
         )
-        inside = (edge_cross >= -1.5).all(axis=0) | (edge_cross <= 1.5).all(axis=0)
+        # cross = |edge| * perpendicular distance, so the boundary slack must
+        # scale with edge length: tol rows give +-1.5 px of true distance.
+        edge_norm = np.array(
+            [max(float(np.hypot(q[(i + 1) % 4, 0] - q[i, 0],
+                                q[(i + 1) % 4, 1] - q[i, 1])), 1.0)
+             for i in range(4)], dtype=np.float32)[:, None]
+        tol = 1.5 * edge_norm
+        inside = (edge_cross >= -tol).all(axis=0) | (edge_cross <= tol).all(axis=0)
         if int(inside.sum()) < min_size_px:
             out.append(q)
             continue

@@ -267,8 +267,14 @@ _NON_TITLE_RE = re.compile(
 _IMPRINT_VOCAB = (
     "published", "publisher", "publishers", "publishing", "printing",
     "printed", "copyright", "edition", "impression", "reserved",
-    "simultaneously", "arrangement", "october", "september",
+    "simultaneously", "arrangement",
 )
+
+# Month names are imprint evidence only next to a digit ("October 1899"):
+# bare months appear in real titles ("October Sky"), which the general
+# vocabulary above must never reject.
+_MONTH_VOCAB = ("october", "september", "november", "december", "january",
+                "february", "august")
 
 
 def _edit_within(a: str, b: str, k: int) -> bool:
@@ -289,6 +295,7 @@ def _edit_within(a: str, b: str, k: int) -> bool:
 
 
 def _looks_like_imprint(text: str) -> bool:
+    has_digit = any(c.isdigit() for c in text)
     for w in re.findall(r"[A-Za-z]+", text.lower()):
         if len(w) < 6:
             continue
@@ -298,6 +305,10 @@ def _looks_like_imprint(text: str) -> bool:
         for v in _IMPRINT_VOCAB:
             if _edit_within(w, v, k):
                 return True
+        if has_digit:
+            for v in _MONTH_VOCAB:
+                if _edit_within(w, v, k):
+                    return True
     return re.search(r"&\s*co\b", text, re.IGNORECASE) is not None
 
 

@@ -83,14 +83,17 @@ def _backend_alive(timeout_s: int = 300) -> bool:
 
     code = (
         "import jax, jax.numpy as jnp;"
-        "print(float((jnp.ones((8,8))@jnp.ones((8,8))).sum()))"
+        "float((jnp.ones((8,8))@jnp.ones((8,8))).sum());"
+        "print(jax.devices()[0].platform)"
     )
     try:
         r = subprocess.run(
             [sys.executable, "-c", code], timeout=timeout_s,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            capture_output=True, text=True,
         )
-        return r.returncode == 0
+        # A host where JAX silently defaults to CPU passes the matmul probe;
+        # only a real accelerator counts as 'device' (honest labeling).
+        return r.returncode == 0 and r.stdout.strip().lower() != "cpu"
     except Exception:
         return False
 

@@ -128,6 +128,12 @@ class TestHeuristics:
         # real title words within edit-2 of imprint vocabulary must survive
         assert not _looks_like_imprint("J Bevond the Pronter")
         assert not _looks_like_imprint("The Winter Palace")
+        # bare month names occur in real titles; months are imprint evidence
+        # only when the line also carries a digit ("October 1899" = a date)
+        assert not _looks_like_imprint("October Sky")
+        assert not _looks_like_imprint("The Hunt for Red October")
+        assert _looks_like_imprint("Octuber 1899")
+        assert _looks_like_imprint("September 1, 1923")
 
     def test_lines_title_skips_garbled_imprint(self):
         from bbocr_tpu.extract.heuristics import heuristic_extract_lines
