@@ -98,9 +98,12 @@ class EngineConfig:
     # Rectify recognition crops on the HOST (cv2, from the ORIGINAL photo
     # at native detail) and upload small u8 strips, instead of device
     # gather-warps from the letterboxed canvas. Decouples recognition from
-    # canvas scale/quantization; pairs with wire_bits < 8.
+    # canvas scale/quantization; pairs with wire_bits < 8. Default ON since
+    # round 4: the measured quality knob on real covers (phrase CER
+    # 0.505->0.480 at unchanged recall, docs/EVAL.md round 4); degrades to
+    # device warps automatically when cv2 is absent.
     host_rectify: bool = field(
-        default_factory=lambda: os.environ.get("BB_OCR_HOST_RECTIFY", "0").lower()
+        default_factory=lambda: os.environ.get("BB_OCR_HOST_RECTIFY", "1").lower()
         not in ("0", "", "false")
     )
 
