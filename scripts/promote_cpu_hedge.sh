@@ -4,16 +4,21 @@
 #   - requires the full-corpus eval artifact and a paired-covers recall
 #     strictly above the best committed eval (same gate the chip chains use)
 #   - copies the candidate + eval artifacts into the repo
-# Usage: bash scripts/promote_cpu_hedge.sh <ckpt.npz> <full_eval.json> [covers_evals...]
+# Usage: bash scripts/promote_cpu_hedge.sh <ckpt.npz> <full_eval.json> \
+#          [eval_artifact_name] [candidate_name]
+# eval_artifact_name defaults to eval_r4_cpu_hedge.json; later promotions
+# pass their own name so earlier committed artifacts are never overwritten.
 set -e
 cd /root/repo
 CKPT=${1:?checkpoint path}
 FULL=${2:?full-corpus eval json}
+EVNAME=${3:-eval_r4_cpu_hedge.json}
+CANDNAME=${4:-crnn_r4cpu_best_real.npz}
 
-python3 - "$CKPT" "$FULL" <<'EOF'
+python3 - "$CKPT" "$FULL" "$EVNAME" "$CANDNAME" <<'EOF'
 import glob, json, shutil, sys
 
-ckpt, full = sys.argv[1], sys.argv[2]
+ckpt, full, evname, candname = sys.argv[1:5]
 
 def rec(p):
     try:
@@ -32,8 +37,8 @@ cov, allr = rec(full)
 if cov is None or cov <= base_cov:
     sys.exit(f"NOT promoted: paired recall {cov} <= committed baseline {base_cov}")
 
-shutil.copy(ckpt, "checkpoints/candidates/crnn_r4cpu_best_real.npz")
-shutil.copy(full, "data/evals/eval_r4_cpu_hedge.json")
+shutil.copy(ckpt, f"checkpoints/candidates/{candname}")
+shutil.copy(full, f"data/evals/{evname}")
 shutil.copy("checkpoints/crnn.npz", "checkpoints/crnn_prev.npz")
 shutil.copy(ckpt, "checkpoints/crnn.npz")
 print(f"PROMOTED {ckpt}: paired covers recall {cov} > {base_cov} (full-corpus {allr} vs {base_all})")
