@@ -64,6 +64,24 @@ class TestBucketing:
         monkeypatch.setenv("BB_OCR_WIRE_BITS", "2")
         assert EngineConfig(wire_bits=8).wire_bits == 8
 
+    def test_defaults_match_measured_best_config(self, monkeypatch):
+        """Shipped defaults must equal the measured-best serving knobs
+        (docs/EVAL.md round 4): host_rectify ON (CER 0.505->0.480 at equal
+        recall), full-rate wire, greedy decode, no coarse pass, no pooled
+        detect. Guards the recurring 'shipped defaults don't match the
+        measured configuration' failure mode (round-2/round-4 verdicts)."""
+        from bbocr_tpu.runtime.engine import EngineConfig
+
+        for var in ("BB_OCR_WIRE_BITS", "BB_OCR_DECODER",
+                    "BB_OCR_DETECT_COARSE", "BB_OCR_HOST_RECTIFY"):
+            monkeypatch.delenv(var, raising=False)
+        cfg = EngineConfig()
+        assert cfg.host_rectify is True
+        assert cfg.wire_bits == 8
+        assert cfg.decoder == "greedy"
+        assert cfg.detect_coarse == 0
+        assert cfg.detect_pool == 1
+
     def test_detail_scale_env_at_call(self, monkeypatch):
         monkeypatch.setenv("BB_OCR_DETAIL_SCALE", "0.45")
         # 2400x1800 at ds=0.45 fits the mid 1184x864 canvas (0.49x scale)
