@@ -353,24 +353,36 @@ def heuristic_extract_lines(lines: List[Tuple]) -> Dict[str, Any]:
     meta = heuristic_extract(full)
 
     cands = [
-        (t.strip(), c, h, img)
-        for t, c, h, img in norm
+        (t.strip(), c, h, img, i)
+        for i, (t, c, h, img) in enumerate(norm)
         if c >= 0.05 and len(t.strip()) >= 3
     ]
 
-    def tscore(c, h, img):
-        return (h ** 4) * (0.3 + c) * (1.0 if img <= 1 else 0.3)
+    def tscore(t, c, h, img):
+        # mild multi-word boost: real titles are usually phrases, and a
+        # lone high-confidence name (the author) otherwise outranks the
+        # decorative multi-word title line at near-equal height (measured
+        # round 5: book4 picked 'ALFRED' over 'H ENDURANCE ID ANAE')
+        words = len(re.findall(r"[A-Za-z]{2,}", t))
+        return (
+            (h ** 4) * (0.3 + c)
+            * (1.0 + 0.15 * min(max(words - 1, 0), 3))
+            * (1.0 if img <= 1 else 0.3)
+        )
 
-    scored = sorted(cands, key=lambda x: -tscore(x[1], x[2], x[3]))
-    title = next((t for t, c, h, img in scored if _title_plausible(t)), None)
-    if title:
-        meta["title"] = title
+    scored = sorted(cands, key=lambda x: -tscore(x[0], x[1], x[2], x[3]))
+    seed = next(
+        ((t, c, h, img, i) for t, c, h, img, i in scored if _title_plausible(t)),
+        None,
+    )
+    if seed:
+        meta["title"] = _assemble_title(norm, seed)
 
     # an explicit "by <Name>" line outranks positional/base guesses
     by_line = next(
         (
             _clean_author(re.sub(r"(?i)^by\s+", "", t))
-            for t, c, h, img in scored
+            for t, c, h, img, i in scored
             if re.match(r"(?i)^by\s+\S", t)
         ),
         None,
@@ -378,8 +390,8 @@ def heuristic_extract_lines(lines: List[Tuple]) -> Dict[str, Any]:
     if by_line and _plausible_author(by_line):
         meta["authors"] = [by_line]
     elif not meta["authors"]:
-        skip = {title} if title else set()
-        for t, c, h, img in scored:
+        skip = {seed[0]} if seed else set()
+        for t, c, h, img, i in scored:
             if t in skip:
                 continue
             cand = _clean_author(re.sub(r"(?i)^by\s+", "", t))
@@ -387,3 +399,35 @@ def heuristic_extract_lines(lines: List[Tuple]) -> Dict[str, Any]:
                 meta["authors"] = [cand]
                 break
     return meta
+
+
+def _assemble_title(norm, seed) -> str:
+    """Join the seed title line with adjacent same-block lines.
+
+    Display titles wrap across detection lines ('A TREATISE ON THE' /
+    'CONTRACT OF SALE'); the per-image line list is in reading order, so
+    neighbors of the seed that share the image, sit in the same height
+    band, and read as title-plausible text are part of the same title
+    block. Capped at 2 lines each direction and ~60 joined chars.
+    """
+    t0, _, h0, img0, i0 = seed
+    parts = {i0: t0}
+    total = len(t0)
+    for step in (-1, 1):
+        j = i0 + step
+        taken = 0
+        while 0 <= j < len(norm) and taken < 2:
+            t, c, h, img = norm[j]
+            t = t.strip()
+            if img != img0 or not (0.55 * h0 <= h <= 1.8 * h0):
+                break
+            # no confidence floor on joined neighbors: measured (round 5,
+            # both lines artifacts) a c>=0.12 floor lost more mean ratio
+            # from dropped true title lines than it saved on junk joins
+            if not _title_plausible(t) or total + len(t) > 60:
+                break
+            parts[j] = t
+            total += len(t)
+            j += step
+            taken += 1
+    return " ".join(parts[k] for k in sorted(parts))

@@ -135,6 +135,33 @@ class TestHeuristics:
         assert _looks_like_imprint("Octuber 1899")
         assert _looks_like_imprint("September 1, 1923")
 
+    def test_lines_title_assembles_wrapped_title_block(self):
+        """Display titles wrap across detection lines; adjacent same-height
+        title-plausible lines join into one title (real layout from
+        photos/16 in data/evals/eval_r4_cpu_hedge.json)."""
+        from bbocr_tpu.extract.heuristics import heuristic_extract_lines
+
+        lines = [
+            ("THE LEGAL CLASSICS LIBRARY", 0.17, 0.07, 0),
+            ("A TREATISE ON THE", 0.20, 0.12, 0),
+            ("CONTRACT OF SALE", 0.92, 0.14, 0),
+            ("PUBLISHER", 0.85, 0.08, 0),
+        ]
+        meta = heuristic_extract_lines(lines)
+        assert meta["title"] == "A TREATISE ON THE CONTRACT OF SALE"
+
+    def test_lines_title_multiword_beats_lone_name(self):
+        """A lone high-confidence name (the author) must not outrank the
+        multi-word title line at near-equal height (covers/book4)."""
+        from bbocr_tpu.extract.heuristics import heuristic_extract_lines
+
+        lines = [
+            ("ALFRED", 0.98, 0.16, 0),
+            ("H ENDURANCE ID ANAE", 0.55, 0.17, 0),
+        ]
+        meta = heuristic_extract_lines(lines)
+        assert "ENDURANCE" in meta["title"]
+
     def test_lines_title_skips_garbled_imprint(self):
         from bbocr_tpu.extract.heuristics import heuristic_extract_lines
 
