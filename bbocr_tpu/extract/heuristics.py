@@ -218,7 +218,11 @@ def heuristic_extract(text: str) -> Dict[str, Any]:
 _NON_AUTHOR_RE = re.compile(
     r"\b(press|publish(?:ed|ers?|ing)?|books|house|editions|copyright"
     r"|rights|reserved|printed|edition|impression|isbn|chapter|volume"
-    r"|first|all|company|co|inc|ltd)\b",
+    r"|first|all|company|co|inc|ltd"
+    # role/reference words: "AUTHOR OF ...", "by the same author",
+    # "translated/edited/illustrated by" lines are about the author,
+    # never the name itself (photos/17 picked 'the same author')
+    r"|authou?rs?|same|translated|edited|illustrated)\b",
     re.IGNORECASE,
 )
 
