@@ -10,6 +10,8 @@ for f in /tmp/chain_*.log /tmp/train_logs/*.log /tmp/eval_*.log \
          /tmp/vlm_eval_*.log; do
   [ -f "$f" ] || continue
   out="$DEST/$(basename "$f")"
-  tail -c 400000 "$f" > "$out"
+  # the XLA:CPU AOT feature-mismatch warning repeats thousands of times
+  # and carries no information beyond its first occurrence
+  grep -v "cpu_aot_loader" "$f" | tail -c 400000 > "$out"
 done
 ls -la $DEST
