@@ -28,7 +28,9 @@ def rec(p):
         return None, None
 
 base_cov, base_all = 0.112, 0.204
-for p in ["data/evals/eval_r3_shipped.json"] + sorted(glob.glob("data/evals/eval_r4_cpu*.json")):
+for p in ["data/evals/eval_r3_shipped.json"] + sorted(
+        glob.glob("data/evals/eval_r[45]*cpu*.json")
+        + glob.glob("data/evals/eval_r5_chip*.json")):
     c, a = rec(p)
     if c is not None and c > base_cov:
         base_cov, base_all = c, a
