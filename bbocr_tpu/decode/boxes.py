@@ -42,23 +42,60 @@ def _cross2(o: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
     return float((a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0]))
 
 
+def _reduce_points_for_hull(points: np.ndarray) -> np.ndarray:
+    """Exact hull-preserving reduction for pixel point sets.
+
+    For each integer row keep only the row's min-x and max-x points: every
+    other point of that row lies on the segment between them, hence inside
+    the hull of the kept set, so hull(reduced) == hull(all). This turns the
+    O(N) Python-loop monotone chain over every component pixel (~226k
+    _cross2 calls / 0.5 s per cover score map, measured) into a loop over
+    <= 2 rows points (~1k). Applied only when the ys sit on an integer grid
+    (pixel coordinates always do); arbitrary float sets pass through.
+    """
+    if len(points) <= 192:
+        return points
+    y = points[:, 1]
+    yr = np.rint(y)
+    if not np.all(np.abs(y - yr) < 1e-6):
+        return points
+    uy, inv = np.unique(yr, return_inverse=True)
+    minx = np.full(len(uy), np.inf)
+    maxx = np.full(len(uy), -np.inf)
+    np.minimum.at(minx, inv, points[:, 0])
+    np.maximum.at(maxx, inv, points[:, 0])
+    return np.concatenate(
+        [np.stack([minx, uy], axis=1), np.stack([maxx, uy], axis=1)]
+    )
+
+
 def _convex_hull(points: np.ndarray) -> np.ndarray:
     """Monotone-chain convex hull; points (N,2) -> hull (M,2) CCW."""
-    pts = np.unique(points, axis=0)
+    pts = np.unique(_reduce_points_for_hull(points), axis=0)
     if len(pts) <= 2:
         return pts
     pts = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
 
+    # Plain-float tuples: numpy scalar indexing inside the chain loop costs
+    # ~4us/point (dominated the boxes stage profile); python float math is
+    # ~10x cheaper and the values are exact either way.
+    pts_list = [(float(x), float(y)) for x, y in pts.tolist()]
+
     def half(seq):
-        out: List[np.ndarray] = []
-        for p in seq:
-            while len(out) >= 2 and _cross2(out[-2], out[-1], p) <= 0:
+        out: List[tuple] = []
+        for x, y in seq:
+            while (
+                len(out) >= 2
+                and (out[-1][0] - out[-2][0]) * (y - out[-2][1])
+                - (out[-1][1] - out[-2][1]) * (x - out[-2][0])
+                <= 0
+            ):
                 out.pop()
-            out.append(p)
+            out.append((x, y))
         return out
 
-    lower = half(pts)
-    upper = half(pts[::-1])
+    lower = half(pts_list)
+    upper = half(pts_list[::-1])
     return np.asarray(lower[:-1] + upper[:-1], np.float64)
 
 
