@@ -12,14 +12,14 @@
 # session's own shell can never match.
 LOG=/tmp/round_end_guard.log
 log(){ echo "$1 $(date)" >> $LOG; }
-# Re-armed after the 08-19 09:30 VM reboot restarted the round-5 clock
-# (PROGRESS.jsonl round-5 wall_s counts from ~09:30 UTC; 5h -> ~14:30).
-T_STOP="2026-08-19 13:50"
-T_TERM="2026-08-19 14:05"
+# Re-armed 14:30 UTC for the r5b window (fresh builder session with a
+# ~5h budget; driver bench expected no earlier than ~19:15 UTC).
+T_STOP="2026-08-19 18:45"
+T_TERM="2026-08-19 19:00"
 
 while [ "$(date -u +%s)" -lt "$(date -u -d "$T_STOP" +%s)" ]; do sleep 60; done
 touch /tmp/STOP_CHAIN /tmp/STOP_CHAIN_R4 /tmp/STOP_CHAIN_R4B /tmp/STOP_CHAIN_CPU2 \
-      /tmp/STOP_CHAIN_R5 /tmp/STOP_CHAIN_CPU_R5
+      /tmp/STOP_CHAIN_R5 /tmp/STOP_CHAIN_CPU_R5 /tmp/STOP_CHAIN_R5B
 log "STOP sentinels touched"
 
 while [ "$(date -u +%s)" -lt "$(date -u -d "$T_TERM" +%s)" ]; do sleep 60; done
