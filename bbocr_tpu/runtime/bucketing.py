@@ -67,6 +67,25 @@ DEFAULT_CANVASES: Tuple[CanvasSpec, ...] = (
     CanvasSpec(1024, 1408),  # hi-res landscape
 )
 
+# XL tier (env-gated, BB_OCR_CANVAS_XL=1): one step past hi-res for cheap
+# detectors. CRAFTLite at 1792x1312 costs ~177 GFLOPs — still ~6x below
+# VGG at 1408x1024 (1075; docs/BUDGET.md) — so a lite engine can buy back
+# small-text resolution with canvas area instead of backbone depth. Off by
+# default: each extra canvas is another compiled program + 2.35MB u8 on
+# the wire, and the VGG detector gains nothing it can afford.
+XL_CANVASES: Tuple[CanvasSpec, ...] = (
+    CanvasSpec(1792, 1312),
+    CanvasSpec(1312, 1792),
+)
+
+
+def default_canvases() -> Tuple[CanvasSpec, ...]:
+    """Canvas menu honoring BB_OCR_CANVAS_XL at call time (same
+    read-at-construction contract as the other env knobs)."""
+    if os.environ.get("BB_OCR_CANVAS_XL", "0") not in ("", "0"):
+        return DEFAULT_CANVASES + XL_CANVASES
+    return DEFAULT_CANVASES
+
 # Letterboxing may shrink an image's long side to at most this fraction
 # before we escalate to a larger canvas. Real-photo finding (round 2): the
 # reference's 2400px page photos at the 704x512 canvas land at 0.29x scale,

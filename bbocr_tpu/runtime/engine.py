@@ -40,7 +40,8 @@ from bbocr_tpu.utils.profiling import StageTimer
 
 @dataclass(frozen=True)
 class EngineConfig:
-    canvases: Tuple[CanvasSpec, ...] = bucketing.DEFAULT_CANVASES
+    canvases: Tuple[CanvasSpec, ...] = field(
+        default_factory=bucketing.default_canvases)
     width_buckets: Tuple[int, ...] = bucketing.DEFAULT_WIDTH_BUCKETS
     batch_capacities: Tuple[int, ...] = bucketing.DEFAULT_CAPACITIES
     detection: DetectionParams = field(default_factory=DetectionParams)

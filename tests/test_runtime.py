@@ -91,6 +91,21 @@ class TestBucketing:
         c = pick_canvas(2400, 1800)
         assert (c.height, c.width) == (1408, 1024)
 
+    def test_canvas_xl_env_at_construction(self, monkeypatch):
+        from bbocr_tpu.runtime.bucketing import XL_CANVASES, default_canvases
+        from bbocr_tpu.runtime.engine import EngineConfig
+
+        assert XL_CANVASES[0] not in default_canvases()
+        assert XL_CANVASES[0] not in EngineConfig().canvases
+        monkeypatch.setenv("BB_OCR_CANVAS_XL", "1")
+        assert default_canvases()[-2:] == XL_CANVASES
+        cfg = EngineConfig()
+        assert XL_CANVASES[0] in cfg.canvases
+        # at a high detail floor, a 2400px photo escalates into the XL tier
+        monkeypatch.setenv("BB_OCR_DETAIL_SCALE", "0.7")
+        c = pick_canvas(2400, 1800, cfg.canvases)
+        assert (c.height, c.width) == (1792, 1312)
+
 
 class TestRectify:
     def test_identity_crop(self):
